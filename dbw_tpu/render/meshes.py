@@ -1,0 +1,103 @@
+"""Static-topology scene mesh pytree.
+
+Replaces PyTorch3D's ``Meshes`` + ``TexturesUV`` object soup (reference:
+src/model/dbw.py:7-11): here a scene is a fixed set of flat arrays whose
+shapes never change during optimization, so the whole render step traces
+once. "Filtering" transparent blocks (reference src/model/dbw.py:316-326)
+is expressed by masking — dead faces are parked behind the camera — never
+by shape changes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class TextureAtlas(NamedTuple):
+    """Stack of equally-sized RGB uv maps; per-face map index selects the map.
+
+    Maps of different native sizes are resized conceptually by uv rescale:
+    each map occupies the full [0,1]^2 of its own slot. Bilinear sampling with
+    align_corners=True semantics (reference TexturesUV(align_corners=True),
+    src/model/dbw.py:280)."""
+
+    maps: jnp.ndarray  # (M, TH, TW, 3) float32, values in [0, 1]
+
+
+class MeshScene(NamedTuple):
+    """One scene's geometry + textures, world space, static shapes."""
+
+    verts: jnp.ndarray       # (V, 3) f32
+    faces: jnp.ndarray       # (F, 3) i32
+    uv_verts: jnp.ndarray    # (VT, 2) f32
+    uv_faces: jnp.ndarray    # (F, 3) i32 into uv_verts
+    map_idx: jnp.ndarray     # (F,) i32 into atlas maps
+    atlas: TextureAtlas
+    faces_alpha: jnp.ndarray  # (F,) f32 per-face opacity
+
+
+def concat_scenes(scenes: Sequence[MeshScene]) -> MeshScene:
+    """Join sub-meshes into one scene (equivalent of join_meshes_as_scene,
+    reference: src/model/dbw.py:10). All atlases must share map size."""
+    v_off, vt_off, m_off = 0, 0, 0
+    verts, faces, uvv, uvf, midx, maps, fal = [], [], [], [], [], [], []
+    for s in scenes:
+        verts.append(s.verts)
+        faces.append(s.faces + v_off)
+        uvv.append(s.uv_verts)
+        uvf.append(s.uv_faces + vt_off)
+        midx.append(s.map_idx + m_off)
+        maps.append(s.atlas.maps)
+        fal.append(s.faces_alpha)
+        v_off += s.verts.shape[0]
+        vt_off += s.uv_verts.shape[0]
+        m_off += s.atlas.maps.shape[0]
+    return MeshScene(
+        jnp.concatenate(verts, 0),
+        jnp.concatenate(faces, 0),
+        jnp.concatenate(uvv, 0),
+        jnp.concatenate(uvf, 0),
+        jnp.concatenate(midx, 0),
+        TextureAtlas(jnp.concatenate(maps, 0)),
+        jnp.concatenate(fal, 0),
+    )
+
+
+def face_normals(verts, faces):
+    """Per-face unit normals (used by flat shading)."""
+    v0 = verts[faces[:, 0]]
+    v1 = verts[faces[:, 1]]
+    v2 = verts[faces[:, 2]]
+    n = jnp.cross(v1 - v0, v2 - v0)
+    return n / jnp.linalg.norm(n, axis=-1, keepdims=True).clip(1e-12)
+
+
+def sample_atlas_bilinear(maps, map_idx, uv):
+    """Bilinear texture lookup with align_corners=True.
+
+    maps: (M, TH, TW, 3); map_idx: (...,) i32; uv: (..., 2) in [0, 1] with
+    v==0 at the BOTTOM of the image (pytorch3d TexturesUV convention: texture
+    row 0 is v==1). Returns (..., 3)."""
+    TH, TW = maps.shape[1], maps.shape[2]
+    u = jnp.clip(uv[..., 0], 0.0, 1.0) * (TW - 1)
+    v = (1.0 - jnp.clip(uv[..., 1], 0.0, 1.0)) * (TH - 1)
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    wx = u - x0
+    wy = v - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, TW - 1)
+    y1 = jnp.minimum(y0 + 1, TH - 1)
+
+    def g(yy, xx):
+        return maps[map_idx, yy, xx]
+
+    c00, c01 = g(y0, x0), g(y0, x1)
+    c10, c11 = g(y1, x0), g(y1, x1)
+    top = c00 * (1 - wx[..., None]) + c01 * wx[..., None]
+    bot = c10 * (1 - wx[..., None]) + c11 * wx[..., None]
+    return top * (1 - wy[..., None]) + bot * wy[..., None]

@@ -1,0 +1,183 @@
+"""High-level renderer: project -> select -> interpolate -> shade -> blend.
+
+Functional equivalent of the reference's ``Renderer`` wrapper + its four
+configured instances (train soft / fine / env-hard / light, reference:
+src/model/dbw.py:131-143). One ``Renderer`` here is a static config; sigma
+and per-face alphas are traced inputs so the curriculum never recompiles.
+Batched rendering is ``vmap`` over (R, T).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .blend import fragment_alpha, layered_blend
+from .cameras import Camera
+from .interpolate import interpolate_fragments
+from .meshes import MeshScene
+from .rasterize import RasterConfig, project_faces, rasterize
+from .shading import shade_flat, shade_raw
+
+DIRECTION_LIGHT = (1.0, 0.25, -1.0)  # camera-frame light (reference renderer.py:21)
+
+
+class RendererConfig(NamedTuple):
+    image_size: Tuple[int, int]
+    faces_per_pixel: int = 10
+    sigma: float = 1e-4              # default; can be overridden per call
+    background_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    clip_inside: bool = True
+    detach_bary: bool = False
+    shading: str = "raw"             # 'raw' | 'flat'
+    ambient_color: Optional[Tuple[float, float, float]] = None
+    diffuse_color: Tuple[float, float, float] = (0.4, 0.4, 0.4)
+    light_direction: Tuple[float, float, float] = DIRECTION_LIGHT
+    z_clip: float = 1e-3
+    supersample: int = 1             # 4 for the antialiased viz renderer
+    backend: str = "xla"
+
+    @property
+    def blur_radius_factor(self):
+        # blur_radius = log(1/1e-4 - 1) * sigma (reference renderer.py:51)
+        return float(jnp.log(1.0 / 1e-4 - 1.0))
+
+    def raster_config(self):
+        H, W = self.image_size
+        s = self.supersample
+        return RasterConfig(
+            image_size=(H * s, W * s),
+            faces_per_pixel=self.faces_per_pixel,
+            z_clip=self.z_clip,
+            backend=self.backend,
+        )
+
+
+class Renderer:
+    """Stateless given (config, camera); all methods are jit-friendly."""
+
+    def __init__(self, config: RendererConfig, camera: Camera):
+        self.config = config
+        self.camera = camera
+
+    # -- single view ------------------------------------------------------
+
+    def render_view(self, scene: MeshScene, R, T, sigma=None):
+        """Render one view -> (H, W, 4) RGBA in [0, 1]."""
+        cfg = self.config
+        rcfg = cfg.raster_config()
+        sigma = jnp.asarray(cfg.sigma if sigma is None else sigma, jnp.float32)
+        blur = jnp.float32(cfg.blur_radius_factor) * sigma
+
+        geom = project_faces(
+            scene.verts, scene.faces, R, T, self.camera, z_clip=cfg.z_clip
+        )
+        p2f = rasterize(geom, blur, rcfg)
+        frags = interpolate_fragments(p2f, geom, rcfg, detach_bary=cfg.detach_bary)
+
+        if cfg.shading == "flat":
+            colors = shade_flat(
+                frags, scene, R, cfg.light_direction, cfg.ambient_color or (0.7,) * 3,
+                cfg.diffuse_color,
+            )
+        else:
+            colors = shade_raw(frags, scene, cfg.ambient_color)
+
+        alpha = fragment_alpha(frags, sigma, clip_inside=cfg.clip_inside)
+        idx = jnp.maximum(frags.pix_to_face, 0)
+        alpha = alpha * scene.faces_alpha[idx]
+        img = layered_blend(colors, alpha, cfg.background_color)
+
+        if cfg.supersample > 1:
+            img = _avg_pool_2d(img, cfg.supersample)
+        return img
+
+    def render(self, scene: MeshScene, R, T, sigma=None):
+        """Batched over views: R (B, 3, 3), T (B, 3) -> (B, H, W, 4)."""
+        return jax.vmap(lambda r, t: self.render_view(scene, r, t, sigma))(R, T)
+
+    # -- wireframe overlays ----------------------------------------------
+
+    def render_edges_view(self, scene: MeshScene, R, T, linewidth=1.0):
+        """Edge mask + front pix_to_face at supersampled resolution
+        (reference: src/model/renderer.py:134-146). Returns
+        (mask (H*s, W*s), pix2face (H*s, W*s))."""
+        cfg = self.config
+        rcfg = cfg.raster_config()._replace(faces_per_pixel=1)
+        geom = project_faces(
+            scene.verts, scene.faces, R, T, self.camera, z_clip=cfg.z_clip
+        )
+        p2f = rasterize(geom, jnp.float32(0.0), rcfg)
+        frags = interpolate_fragments(p2f, geom, rcfg, detach_bary=True)
+        Hs, Ws = rcfg.image_size
+        s = min(Hs, Ws) / cfg.supersample  # min of the ORIGINAL image size, scaled
+        thresh = (linewidth * cfg.supersample * 2.0 / s) ** 2
+        mask = ((-frags.dists < thresh) & frags.valid).astype(jnp.float32)
+        return mask[..., 0], p2f[..., 0]
+
+    def draw_edges_view(self, img, scene: MeshScene, R, T, colors, linewidth=1.0):
+        """Overlay the wireframe (antialiased via the supersample factor)
+        onto img (H, W, 3). colors: (F, 3) per-face or (3,) constant."""
+        cfg = self.config
+        mask, p2f = self.render_edges_view(scene, R, T, linewidth)
+        colors = jnp.asarray(colors, jnp.float32)
+        if colors.ndim == 2:
+            face_img = colors[jnp.maximum(p2f, 0)]
+        else:
+            face_img = jnp.broadcast_to(colors, mask.shape + (3,))
+        if cfg.supersample > 1:
+            mask = _avg_pool_2d(mask[..., None], cfg.supersample)[..., 0]
+            face_img = _avg_pool_2d(face_img, cfg.supersample)
+        return img * (1.0 - mask[..., None]) + mask[..., None] * face_img
+
+    def draw_edges(self, imgs, scene, R, T, colors, linewidth=1.0):
+        return jax.vmap(
+            lambda im, r, t: self.draw_edges_view(im, scene, r, t, colors, linewidth)
+        )(imgs, R, T)
+
+
+def _avg_pool_2d(img, k):
+    """(H*k, W*k, C) -> (H, W, C) mean pooling."""
+    H, W, C = img.shape[0] // k, img.shape[1] // k, img.shape[2]
+    return img.reshape(H, k, W, k, C).mean(axis=(1, 3))
+
+
+def make_train_renderer(image_size, camera, faces_per_pixel=10, sigma=1e-4,
+                        detach_bary=True, backend="xla", **kw):
+    """The soft training renderer (reference dbw.py:132 + configs)."""
+    return Renderer(
+        RendererConfig(
+            image_size=tuple(image_size), faces_per_pixel=faces_per_pixel,
+            sigma=sigma, detach_bary=detach_bary, backend=backend, **kw
+        ),
+        camera,
+    )
+
+
+def make_env_renderer(image_size, camera, backend="xla", **kw):
+    """Hard one-layer renderer for background+ground (reference dbw.py:135-138:
+    faces_per_pixel=1, sigma=0, detach_bary=False)."""
+    return Renderer(
+        RendererConfig(
+            image_size=tuple(image_size), faces_per_pixel=1, sigma=0.0,
+            detach_bary=False, backend=backend, **kw
+        ),
+        camera,
+    )
+
+
+def make_viz_renderer(image_size, camera, supersample=4, shading="raw",
+                      background_color=(0.0, 0.0, 0.0), backend="xla", **kw):
+    """Antialiased hard renderer for visualization (reference renderer.py:56-60:
+    4x supersampling, sigma=0, then average pooling)."""
+    return Renderer(
+        RendererConfig(
+            image_size=tuple(image_size), faces_per_pixel=1, sigma=0.0,
+            detach_bary=False, supersample=supersample, shading=shading,
+            background_color=background_color, backend=backend, **kw
+        ),
+        camera,
+    )

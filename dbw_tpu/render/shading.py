@@ -1,0 +1,57 @@
+"""Fragment shading: texture sampling + optional flat lighting.
+
+The training path uses 'raw' shading (textures straight through, scaled by
+ambient color when != 1 — reference: src/model/renderer.py:225-228); the
+synthetic-color visualization path uses 'flat' shading with one directional
+light anchored to the camera (reference: src/model/dbw.py:139-143,
+renderer.py:87-89). Specular is always zero in the shipped configs so only
+ambient + diffuse are implemented.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .interpolate import Fragments, interpolate_face_attrs
+from .meshes import MeshScene, face_normals, sample_atlas_bilinear
+
+
+def sample_texture_colors(fragments: Fragments, scene: MeshScene):
+    """UV-interpolate and bilinearly sample the texture atlas per fragment.
+
+    Returns (H, W, K, 3)."""
+    uv_face_verts = scene.uv_verts[scene.uv_faces]  # (F, 3, 2)
+    uv = interpolate_face_attrs(fragments, uv_face_verts)  # (H, W, K, 2)
+    idx = jnp.maximum(fragments.pix_to_face, 0)
+    map_idx = scene.map_idx[idx]
+    return sample_atlas_bilinear(scene.atlas.maps, map_idx, uv)
+
+
+def shade_raw(fragments: Fragments, scene: MeshScene, ambient_color=None):
+    colors = sample_texture_colors(fragments, scene)
+    if ambient_color is not None:
+        colors = colors * jnp.asarray(ambient_color)
+    return colors
+
+
+def shade_flat(
+    fragments: Fragments,
+    scene: MeshScene,
+    R,
+    light_direction_cam,
+    ambient_color,
+    diffuse_color,
+):
+    """Flat shading: per-face world normal, directional light fixed in the
+    camera frame (the reference rotates the light into world per view,
+    renderer.py:87-89)."""
+    texels = sample_texture_colors(fragments, scene)
+    n = face_normals(scene.verts, scene.faces)  # (F, 3) world
+    idx = jnp.maximum(fragments.pix_to_face, 0)
+    nf = n[idx]  # (H, W, K, 3)
+    d_cam = jnp.asarray(light_direction_cam, dtype=jnp.float32)
+    d_world = d_cam @ R.T  # view->world for row vectors (R orthogonal)
+    d_world = d_world / jnp.linalg.norm(d_world).clip(1e-12)
+    lam = jnp.maximum(jnp.sum(nf * d_world, axis=-1, keepdims=True), 0.0)
+    light = jnp.asarray(ambient_color) + jnp.asarray(diffuse_color) * lam
+    return texels * light
