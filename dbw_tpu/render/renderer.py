@@ -43,7 +43,9 @@ class RendererConfig(NamedTuple):
     @property
     def blur_radius_factor(self):
         # blur_radius = log(1/1e-4 - 1) * sigma (reference renderer.py:51)
-        return float(jnp.log(1.0 / 1e-4 - 1.0))
+        import math
+
+        return math.log(1.0 / 1e-4 - 1.0)
 
     def raster_config(self):
         H, W = self.image_size

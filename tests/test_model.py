@@ -1,0 +1,179 @@
+"""Scene model tests: build, predict, losses, gradients, curriculum."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dbw_tpu.models import BlocksWorld, Phase, create_model
+from dbw_tpu.ops.rotations import look_at_rotation
+
+IMG = (32, 40)
+
+MODEL_CFG = dict(
+    mesh=dict(n_blocks=4, S_world=0.5, R_world=[115, 0, 0], txt_size=32),
+    renderer=dict(faces_per_pixel=4, detach_bary=True, z_clip=0.001),
+    rend_optim=dict(
+        coarse_learning=100, decimate_txt=50, decimate_factor=8,
+        kill_blocks=True, decouple_rendering=True, opacity_noise=True,
+    ),
+    loss=dict(
+        rgb_weight=1, parsimony_weight=0.01, tv_weight=0.1, overlap_weight=1
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    m = BlocksWorld(IMG, **MODEL_CFG)
+    K = np.zeros((4, 4), np.float32)
+    K[0, 0] = K[1, 1] = 2.0
+    m.set_camera(K)
+    return m
+
+
+@pytest.fixture(scope="module")
+def params(model):
+    return model.init_params(seed=1)
+
+
+def cams(b=2):
+    R, T = look_at_rotation(3.0, 20.0, jnp.linspace(-30.0, 30.0, b))
+    return R, T
+
+
+class TestBuild:
+    def test_init_param_shapes(self, model, params):
+        N, TS = 4, 32
+        assert params.sq_eps.shape == (N, 2)
+        assert params.S.shape == (N, 3)
+        assert params.R_6d.shape == (N, 6)
+        assert params.alpha_logit.shape == (N,)
+        assert params.textures.shape == (N, TS, TS, 3)
+        assert params.texture_bkg.shape == (1, TS, TS, 3)
+        # opacity starts at ~0.5 (logit 1e-3)
+        np.testing.assert_allclose(
+            jax.nn.sigmoid(params.alpha_logit), 0.5, atol=1e-3
+        )
+
+    def test_env_faces(self, model):
+        assert model.bkg_n_faces == 320  # icosphere level 2
+        assert model.ground_n_faces == 128  # plane subdivided 3x
+        assert model.blocks_n_faces == 4 * 80
+
+    def test_build_blocks_shapes(self, model, params):
+        phase = model.phase_for_epoch(0)
+        scene, aux = model.build_blocks(params, phase, key=jax.random.PRNGKey(0))
+        assert scene.verts.shape == (4 * 42, 3)
+        assert scene.faces.shape == (4 * 80, 3)
+        assert scene.faces_alpha.shape == (4 * 80,)
+        assert aux["alpha"].shape == (4,)
+
+    def test_dead_block_collapses(self, model, params):
+        p = params._replace(
+            alpha_logit=params.alpha_logit.at[0].set(-10.0)  # alpha ~ 0
+        )
+        phase = model.phase_for_epoch(0)
+        scene, aux = model.build_blocks(p, phase)
+        v = np.asarray(scene.verts).reshape(4, 42, 3)
+        assert (v[0] == 0).all()  # collapsed
+        assert not (v[1] == 0).all()
+        assert np.asarray(aux["alpha_full"])[0] == 0.0
+
+    def test_phase_curriculum(self, model):
+        p0 = model.phase_for_epoch(0)
+        assert bool(p0.coarse) and bool(p0.decimate)
+        assert float(p0.opacity_noise) == 1.0
+        assert float(p0.sigma) == pytest.approx(1e-4)
+        p60 = model.phase_for_epoch(60)
+        assert bool(p60.coarse) and not bool(p60.decimate)
+        p150 = model.phase_for_epoch(150)
+        assert not bool(p150.coarse) and bool(p150.filter_transparent)
+        assert float(p150.sigma) == pytest.approx(5e-6)
+        pe = model.phase_for_epoch(0, training=False)
+        assert float(pe.opacity_noise) == 0.0 and not bool(pe.decimate)
+
+
+class TestPredict:
+    def test_predict_shapes_and_range(self, model, params):
+        R, T = cams(2)
+        phase = model.phase_for_epoch(0)
+        rec, aux = model.predict(params, phase, R, T, key=jax.random.PRNGKey(0))
+        assert rec.shape == (2, IMG[0], IMG[1], 3)
+        rec = np.asarray(rec)
+        assert np.isfinite(rec).all()
+        assert rec.min() >= -1e-5 and rec.max() <= 1.0 + 1e-5
+        # the dome + ground should cover every pixel (env pass): with random
+        # textures the image should not be all background zeros
+        assert rec.std() > 0.01
+
+    def test_predict_synthetic(self, model, params):
+        R, T = cams(2)
+        phase = model.phase_for_epoch(0)
+        rec = model.predict_synthetic(params, phase, R, T)
+        assert rec.shape == (2, IMG[0], IMG[1], 3)
+        assert np.isfinite(np.asarray(rec)).all()
+
+    def test_fine_phase_renders(self, model, params):
+        R, T = cams(1)
+        phase = model.phase_for_epoch(150)
+        rec, _ = model.predict(params, phase, R, T, key=jax.random.PRNGKey(0))
+        assert np.isfinite(np.asarray(rec)).all()
+
+
+class TestLosses:
+    def test_losses_finite_and_composed(self, model, params):
+        R, T = cams(2)
+        phase = model.phase_for_epoch(0)
+        imgs = jnp.zeros((2, IMG[0], IMG[1], 3)) + 0.5
+        losses = model.forward(params, phase, imgs, R, T, jax.random.PRNGKey(0))
+        for k in ["rgb", "parsimony", "tv", "overlap", "total"]:
+            assert k in losses and np.isfinite(float(losses[k])), k
+        assert float(losses["total"]) == pytest.approx(
+            sum(float(v) for k, v in losses.items() if k != "total"), rel=1e-5
+        )
+
+    def test_fine_phase_zeroes_coarse_losses(self, model, params):
+        R, T = cams(1)
+        phase = model.phase_for_epoch(150)
+        imgs = jnp.zeros((1, IMG[0], IMG[1], 3)) + 0.5
+        losses = model.forward(params, phase, imgs, R, T, jax.random.PRNGKey(0))
+        assert float(losses["parsimony"]) == 0.0
+        assert float(losses["overlap"]) == 0.0
+
+    def test_gradients_reach_all_params(self, model, params):
+        R, T = cams(2)
+        phase = model.phase_for_epoch(0)
+        imgs = jnp.full((2, IMG[0], IMG[1], 3), 0.5)
+
+        def loss_fn(p):
+            return model.forward(p, phase, imgs, R, T, jax.random.PRNGKey(3))[
+                "total"
+            ]
+
+        grads = jax.grad(loss_fn)(params)
+        for name, g in grads._asdict().items():
+            g = np.asarray(g)
+            assert np.isfinite(g).all(), f"{name} grad not finite"
+            assert np.abs(g).max() > 0, f"{name} grad identically zero"
+
+    def test_jit_train_loss(self, model, params):
+        R, T = cams(2)
+        imgs = jnp.full((2, IMG[0], IMG[1], 3), 0.5)
+
+        @jax.jit
+        def step(p, phase, key):
+            return model.forward(p, phase, imgs, R, T, key)["total"]
+
+        l0 = step(params, model.phase_for_epoch(0), jax.random.PRNGKey(0))
+        # phase flip must NOT retrigger tracing errors (traced scalars)
+        l1 = step(params, model.phase_for_epoch(150), jax.random.PRNGKey(0))
+        assert np.isfinite(float(l0)) and np.isfinite(float(l1))
+
+
+class TestRegistry:
+    def test_create_model(self):
+        cfg = {"model": dict(name="dbw", **MODEL_CFG)}
+        m = create_model(cfg, (16, 16))
+        assert isinstance(m, BlocksWorld)
+        assert m.loss_names[-1] == "loss_total"
