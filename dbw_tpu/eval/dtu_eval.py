@@ -1,0 +1,164 @@
+"""Official DTU Chamfer evaluation protocol (reference:
+src/utils/dtu_eval.py, itself from jzhangbs/DTUeval-python).
+
+Protocol fidelity is the point here (SURVEY.md hard-part #6), so the
+numerics are kept identical: triangle-grid surface sampling at 0.2mm
+density, greedy radius-0.2 downsampling, ObsMask/.mat bounds masking,
+accuracy d2s + completeness s2d with MAX_DIST=20 outlier drop and
+ground-plane filtering of the GT. Host-side; scipy cKDTree replaces
+sklearn's KD-tree, vectorized numpy replaces the multiprocessing triangle
+loop (same sample sets)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+from ..utils.logger import print_log
+from ..utils.obj_io import load_ply, save_ply
+
+MAX_DIST = 20
+PATCH = 60
+DOWNSAMPLE_DENSITY = 0.2
+
+
+def sample_single_tri(n1, n2, v1, v2, tri_vert):
+    """Regular barycentric-grid samples of one triangle (reference
+    dtu_eval.py:21-30)."""
+    c = np.mgrid[: int(n1) + 1, : int(n2) + 1].astype(np.float64)
+    c += 0.5
+    c[0] /= max(n1, 1e-7)
+    c[1] /= max(n2, 1e-7)
+    c = np.transpose(c, (1, 2, 0))
+    k = c[c.sum(axis=-1) < 1]
+    return v1 * k[:, :1] + v2 * k[:, 1:] + tri_vert
+
+
+def sample_mesh_surface(vertices, triangles, density=DOWNSAMPLE_DENSITY):
+    """Vertices + per-triangle grid samples at the target density."""
+    tri_vert = vertices[triangles]
+    v1 = tri_vert[:, 1] - tri_vert[:, 0]
+    v2 = tri_vert[:, 2] - tri_vert[:, 0]
+    l1 = np.linalg.norm(v1, axis=-1, keepdims=True)
+    l2 = np.linalg.norm(v2, axis=-1, keepdims=True)
+    area2 = np.linalg.norm(np.cross(v1, v2), axis=-1, keepdims=True)
+    nz = (area2 > 0)[:, 0]
+    l1, l2, area2, v1, v2, tri_vert = [
+        a[nz] for a in [l1, l2, area2, v1, v2, tri_vert]
+    ]
+    thr = density * np.sqrt(l1 * l2 / area2)
+    n1 = np.floor(l1 / thr)[:, 0]
+    n2 = np.floor(l2 / thr)[:, 0]
+    pts = [
+        sample_single_tri(n1[i], n2[i], v1[i : i + 1], v2[i : i + 1],
+                          tri_vert[i : i + 1, 0])
+        for i in range(len(n1))
+    ]
+    new_pts = (
+        np.concatenate(pts, axis=0) if pts else np.zeros((0, 3))
+    )
+    return np.concatenate([vertices, new_pts], axis=0)
+
+
+def greedy_radius_downsample(points, radius=DOWNSAMPLE_DENSITY):
+    """Greedy keep-first downsampling over radius neighborhoods (identical
+    semantics to reference dtu_eval.py:87-95)."""
+    tree = cKDTree(points)
+    neighbor_lists = tree.query_ball_point(points, r=radius, workers=-1)
+    mask = np.ones(len(points), dtype=bool)
+    for curr, idxs in enumerate(neighbor_lists):
+        if mask[curr]:
+            mask[idxs] = False
+            mask[curr] = True
+    return points[mask], mask
+
+
+def evaluate_mesh(verts, faces, scan_id, dataset_dir, eval_dir, suffix="",
+                  save_viz=True):
+    """Write dtu_scores{suffix}.tsv (acc / comp / avg) for a predicted mesh
+    in DTU world coordinates (millimeters)."""
+    dataset_dir = Path(dataset_dir)
+    eval_dir = Path(eval_dir)
+    verts = np.asarray(verts, np.float64)
+    faces = np.asarray(faces)
+    # drop unreferenced vertices (reference: remove_unreferenced_vertices)
+    used = np.zeros(len(verts), bool)
+    used[faces.reshape(-1)] = True
+    remap = -np.ones(len(verts), np.int64)
+    remap[used] = np.arange(used.sum())
+    verts = verts[used]
+    faces = remap[faces]
+
+    data_pcd = sample_mesh_surface(verts, faces)
+    rng = np.random.default_rng()
+    rng.shuffle(data_pcd, axis=0)
+    data_down, _ = greedy_radius_downsample(data_pcd)
+
+    from scipy.io import loadmat
+
+    obs = loadmat(dataset_dir / "ObsMask" / f"ObsMask{scan_id}_10.mat")
+    ObsMask, BB, Res = obs["ObsMask"], obs["BB"].astype(np.float32), obs["Res"]
+
+    inbound = (
+        (data_down >= BB[:1] - PATCH) & (data_down < BB[1:] + PATCH * 2)
+    ).sum(axis=-1) == 3
+    data_in = data_down[inbound]
+    data_grid = np.around((data_in - BB[:1]) / Res).astype(np.int32)
+    grid_inbound = (
+        (data_grid >= 0) & (data_grid < np.expand_dims(ObsMask.shape, 0))
+    ).sum(axis=-1) == 3
+    data_grid_in = data_grid[grid_inbound]
+    in_obs = ObsMask[
+        data_grid_in[:, 0], data_grid_in[:, 1], data_grid_in[:, 2]
+    ].astype(bool)
+    data_in_obs = data_in[grid_inbound][in_obs]
+
+    stl = load_ply(
+        dataset_dir / "Points" / "stl" / f"stl{scan_id:03}_total.ply"
+    ).astype(np.float64)
+
+    stl_tree = cKDTree(stl)
+    dist_d2s, _ = stl_tree.query(data_in_obs, k=1, workers=-1)
+    dist_d2s = dist_d2s[:, None]
+    mean_d2s = dist_d2s[dist_d2s < MAX_DIST].mean()
+
+    ground_plane = loadmat(dataset_dir / "ObsMask" / f"Plane{scan_id}.mat")["P"]
+    stl_hom = np.concatenate([stl, np.ones_like(stl[:, :1])], -1)
+    above = (ground_plane.reshape((1, 4)) * stl_hom).sum(-1) > 0
+    stl_above = stl[above]
+
+    data_tree = cKDTree(data_in)
+    dist_s2d, _ = data_tree.query(stl_above, k=1, workers=-1)
+    dist_s2d = dist_s2d[:, None]
+    mean_s2d = dist_s2d[dist_s2d < MAX_DIST].mean()
+
+    if save_viz:
+        vis_dist = 1
+        R = np.array([[1, 0, 0]], np.float64)
+        G = np.array([[0, 1, 0]], np.float64)
+        B = np.array([[0, 0, 1]], np.float64)
+        W = np.array([[1, 1, 1]], np.float64)
+        data_color = np.tile(B, (data_down.shape[0], 1))
+        data_alpha = dist_d2s.clip(max=vis_dist) / vis_dist
+        sel = np.where(inbound)[0][grid_inbound][in_obs]
+        data_color[sel] = R * data_alpha + W * (1 - data_alpha)
+        data_color[sel[dist_d2s[:, 0] >= MAX_DIST]] = G
+        save_ply(eval_dir / f"vis_{scan_id:03}_d2s{suffix}.ply", data_down, data_color)
+        stl_color = np.tile(B, (stl.shape[0], 1))
+        stl_alpha = dist_s2d.clip(max=vis_dist) / vis_dist
+        stl_color[np.where(above)[0]] = R * stl_alpha + W * (1 - stl_alpha)
+        stl_color[np.where(above)[0][dist_s2d[:, 0] >= MAX_DIST]] = G
+        save_ply(eval_dir / f"vis_{scan_id:03}_s2d{suffix}.ply", stl, stl_color)
+
+    avg = (mean_d2s + mean_s2d) / 2
+    with open(eval_dir / f"dtu_scores{suffix}.tsv", "w") as f:
+        f.write("acc\tcomp\tavg\n")
+        f.write(f"{mean_d2s}\t{mean_s2d}\t{avg}")
+    print_log(
+        "dtu_scores{}: acc={:.5f}, comp={:.5f}, avg={:.5f}".format(
+            suffix, mean_d2s, mean_s2d, avg
+        )
+    )
+    return {"acc": mean_d2s, "comp": mean_s2d, "avg": avg}

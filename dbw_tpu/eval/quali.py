@@ -1,0 +1,139 @@
+"""Qualitative evaluation artifacts (reference: src/model/dbw.py:495-554):
+texture PNGs, full/clean OBJ meshes, GT point cloud PLY, per-view renders
+with edge overlays, synthetic-color renders, circle-trajectory videos."""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.dbw import Phase
+from ..ops.rotations import look_at_rotation
+from ..render.trajectory import get_circle_traj
+from ..utils.image import convert_to_img, save_video
+from ..utils.misc import path_mkdir, use_seed
+from ..utils.obj_io import save_ply
+from .export import export_scene_obj
+
+
+def qualitative_eval(model, params, loader, path, NV=240, n_views=10,
+                     render_videos=True):
+    path = Path(path)
+
+    # textures (reference dbw.py:501-505)
+    out = path_mkdir(path / "textures")
+    convert_to_img(np.asarray(jax.nn.sigmoid(params.texture_bkg))[0]).save(
+        out / "bkg.png"
+    )
+    convert_to_img(np.asarray(jax.nn.sigmoid(params.texture_ground))[0]).save(
+        out / "ground.png"
+    )
+    for k, img in enumerate(np.asarray(jax.nn.sigmoid(params.textures))):
+        convert_to_img(img).save(out / f"block_{str(k).zfill(2)}.png")
+
+    # meshes (reference dbw.py:508-514)
+    export_scene_obj(model, params, path / "mesh_full.obj", filter_transparent=True)
+    export_scene_obj(
+        model, params, path / "mesh.obj", filter_transparent=True,
+        w_bkg=False, reduce_ground=True,
+    )
+
+    # GT point cloud (reference dbw.py:519-522)
+    gt = np.asarray(loader.dataset.pc_gt)
+    with use_seed(123):
+        sel = np.random.permutation(len(gt))[:3000]
+    save_ply(path / "gt.ply", gt[sel])
+
+    phase = Phase.eval_phase(filter_transparent=True)
+    scene, _, _ = model.build_scene(params, phase)
+    syn_blocks, syn_aux = model.build_blocks(params, phase, synthetic=True)
+    if int(np.asarray(syn_aux["mask"]).sum()) == 0:
+        return None
+    colors = model.get_scene_face_colors(params, filter_transparent=True, w_env=False)
+    # pad palette to per-face colors of the FULL static scene for overlays
+    full_colors = _pad_block_colors(model, params)
+
+    @jax.jit
+    def render(R, T):
+        return model.renderer_viz.render(scene, R, T)[..., :3]
+
+    @jax.jit
+    def render_syn(R, T):
+        return model.renderer_light.render(syn_blocks, R, T)[..., :3]
+
+    R_traj, T_traj = get_circle_traj(N_views=NV)
+
+    count = 0
+    n_zeros = int(math.log10(max(n_views - 1, 1))) + 1
+    for inp, _ in loader:
+        if count >= n_views:
+            break
+        B = min(len(inp["imgs"]), n_views - count)
+        for k in range(B):
+            i = str(count + k).zfill(n_zeros)
+            img = inp["imgs"][k]
+            convert_to_img(img).save(path / f"{i}_inp.png")
+            R = jnp.asarray(inp["R"][k : k + 1])
+            T = jnp.asarray(inp["T"][k : k + 1])
+            rec = np.asarray(render(R, T))[0]
+            convert_to_img(rec).save(path / f"{i}_rec.png")
+            edged = model.renderer_viz.draw_edges(
+                jnp.asarray(rec)[None], syn_blocks, R, T, full_colors
+            )
+            convert_to_img(np.asarray(edged)[0]).save(path / f"{i}_rec_col.png")
+            edged_inp = model.renderer_viz.draw_edges(
+                jnp.asarray(img)[None], syn_blocks, R, T, full_colors
+            )
+            convert_to_img(np.asarray(edged_inp)[0]).save(
+                path / f"{i}_rec_col_inp.png"
+            )
+            rec_syn = np.asarray(render_syn(R, T))[0]
+            convert_to_img(rec_syn).save(path / f"{i}_rec_syn_nobkg.png")
+            edged_syn = model.renderer_light.draw_edges(
+                jnp.asarray(rec_syn)[None], syn_blocks, R, T, (0.3, 0.3, 0.3),
+                linewidth=0.7,
+            )
+            convert_to_img(np.asarray(edged_syn)[0]).save(
+                path / f"{i}_rec_syn_nobkg_edged.png"
+            )
+            if render_videos and count + k < 2:  # trajectory videos (2 views)
+                R_v = jnp.einsum("ij,njk->nik", R[0], R_traj)
+                T_v = jnp.broadcast_to(T[0], (NV, 3))
+                frames = _render_batched(render, R_v, T_v)
+                save_video(frames, path / f"{i}_rec_traj.mp4")
+                frames = _render_batched(render_syn, R_v, T_v)
+                save_video(frames, path / f"{i}_rec_traj_syn.mp4")
+        count += B
+    return None
+
+
+def _render_batched(render_fn, R, T, chunk=10):
+    """Render a long trajectory in fixed-size chunks (reference
+    renderer.py:357-365 renders by batches of 10 to bound memory)."""
+    n = len(R)
+    out = []
+    for k in range(0, n, chunk):
+        Rc, Tc = R[k : k + chunk], T[k : k + chunk]
+        pad = chunk - len(Rc)
+        if pad:
+            Rc = jnp.concatenate([Rc, jnp.repeat(Rc[-1:], pad, 0)])
+            Tc = jnp.concatenate([Tc, jnp.repeat(Tc[-1:], pad, 0)])
+        imgs = np.asarray(render_fn(Rc, Tc))
+        out.append(imgs[: chunk - pad if pad else chunk])
+    return np.concatenate(out)
+
+
+def _pad_block_colors(model, params):
+    """Per-face palette for the static blocks scene (dead blocks get black —
+    they are collapsed and never rasterized)."""
+    from ..utils.colors import fancy_colormap
+
+    vals = np.linspace(0, 1, model.n_blocks + 1)[1:]
+    colors = fancy_colormap(vals)
+    return jnp.asarray(
+        np.repeat(colors, model.BNF, axis=0), jnp.float32
+    )

@@ -1,0 +1,48 @@
+"""Checkpoint save/load (reference: src/trainer.py:84-107, 201-209).
+
+One pickle per checkpoint holding numpy-ified pytrees:
+{epoch, batch, model_name, model_kwargs, model_state (SceneParams),
+ optimizer_state, scheduler ignored (closed-form)}. ``pretrained`` loads
+weights only; ``resume`` restores the full state including the mid-epoch
+batch cursor and cur_epoch so the curriculum continues correctly."""
+
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from ..models.dbw import SceneParams
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path, params, opt_state, epoch, batch, model_name="dbw",
+                    model_kwargs=None):
+    state = {
+        "epoch": int(epoch),
+        "batch": int(batch),
+        "model_name": model_name,
+        "model_kwargs": model_kwargs or {},
+        "model_state": _to_numpy(params)._asdict(),
+        "optimizer_state": _to_numpy(opt_state),
+    }
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(state, f)
+    return path
+
+
+def load_checkpoint(path):
+    with open(path, "rb") as f:
+        state = pickle.load(f)
+    ms = state["model_state"]
+    # backward-compat key rename (reference dbw.py:445)
+    ms = {k.replace("spq_", "sq_"): v for k, v in ms.items()}
+    state["model_state"] = SceneParams(**ms)
+    return state

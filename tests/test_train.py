@@ -1,0 +1,142 @@
+"""Training stack tests: optimizer groups, scheduler, checkpointing, and an
+end-to-end smoke optimization on a synthetic scene."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dbw_tpu.models.dbw import BlocksWorld, SceneParams
+from dbw_tpu.train.optimizer import create_optimizer, param_group_labels
+from dbw_tpu.train.scheduler import MultiStepLR, create_scheduler
+from dbw_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+TRAIN_CFG = {
+    "training": {
+        "optimizer": {"name": "adam", "lr": 5e-3, "texture": {"lr": 5e-2}},
+        "scheduler": {"name": "multi_step", "gamma": [0.1, 0.1], "milestones": [1700]},
+    }
+}
+
+
+def tiny_params():
+    m = BlocksWorld(
+        (8, 8),
+        mesh=dict(n_blocks=2, txt_size=16),
+        renderer=dict(faces_per_pixel=2),
+        loss=dict(rgb_weight=1),
+    )
+    return m, m.init_params(0)
+
+
+class TestOptimizer:
+    def test_texture_group_lr(self):
+        m, params = tiny_params()
+        opt = create_optimizer(TRAIN_CFG, params)
+        assert opt.base_lrs == {"main": 5e-3, "texture": 5e-2}
+        labels = param_group_labels(params)
+        assert labels.textures == "texture"
+        assert labels.texture_bkg == "texture"
+        assert labels.S == "main"
+
+    def test_update_applies_group_lrs(self):
+        m, params = tiny_params()
+        opt = create_optimizer(TRAIN_CFG, params)
+        state = opt.init(params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        lrs = {"main": jnp.float32(1.0), "texture": jnp.float32(10.0)}
+        updates, _ = opt.update(grads, state, lrs)
+        # adam first step normalizes -> |update| == lr
+        assert np.allclose(np.abs(np.asarray(updates.S)), 1.0, atol=1e-2)
+        assert np.allclose(np.abs(np.asarray(updates.textures)), 10.0, atol=1e-1)
+
+
+class TestScheduler:
+    def test_multistep(self):
+        s = MultiStepLR({"main": 1.0, "texture": 10.0}, milestones=[5, 8],
+                        gamma=[0.1, 0.5])
+        assert s.lrs(0) == {"main": 1.0, "texture": 10.0}
+        assert s.lrs(4) == {"main": 1.0, "texture": 10.0}
+        assert s.lrs(5)["main"] == pytest.approx(0.1)
+        assert s.lrs(5)["texture"] == pytest.approx(5.0)
+        assert s.lrs(8)["main"] == pytest.approx(0.01)
+
+    def test_warmup(self):
+        s = MultiStepLR({"main": 1.0}, warmup=4)
+        assert s.lrs(0)["main"] == pytest.approx(0.25)
+        assert s.lrs(3)["main"] == pytest.approx(1.0)
+        assert s.lrs(10)["main"] == pytest.approx(1.0)
+
+    def test_factory(self):
+        s = create_scheduler(TRAIN_CFG, {"main": 5e-3, "texture": 5e-2})
+        assert s.lrs(1699)["main"] == pytest.approx(5e-3)
+        assert s.lrs(1700)["main"] == pytest.approx(5e-4)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        m, params = tiny_params()
+        opt = create_optimizer(TRAIN_CFG, params)
+        state = opt.init(params)
+        p = save_checkpoint(tmp_path / "model.pkl", params, state, 7, 3)
+        ckpt = load_checkpoint(p)
+        assert ckpt["epoch"] == 7 and ckpt["batch"] == 3
+        assert isinstance(ckpt["model_state"], SceneParams)
+        np.testing.assert_allclose(ckpt["model_state"].S, np.asarray(params.S))
+
+
+@pytest.mark.slow
+class TestEndToEnd:
+    def test_synthetic_optimization_reduces_loss(self, tmp_path):
+        """Full Trainer on a tiny synthetic scene: loss must drop and all
+        artifacts must be written."""
+        from dbw_tpu.train.trainer import Trainer
+
+        cfg = {
+            "dataset": {"name": "synthetic", "tag": "t0", "img_size": [32, 40],
+                        "n_views": 8, "seed": 3},
+            "model": {
+                "name": "dbw",
+                "mesh": dict(n_blocks=3, S_world=1.0, R_world=[0, 0, 0],
+                             txt_size=32, T_range=[0.5, 0.5, 0.5]),
+                "renderer": dict(faces_per_pixel=4, detach_bary=True,
+                                 z_clip=0.001),
+                "rend_optim": dict(coarse_learning=4, decimate_txt=2,
+                                   kill_blocks=True, decouple_rendering=True,
+                                   opacity_noise=True),
+                "loss": dict(rgb_weight=1, parsimony_weight=0.01,
+                             tv_weight=0.1, overlap_weight=1),
+            },
+            "training": {
+                "batch_size": 4,
+                "n_epoches": 6,
+                "optimizer": {"name": "adam", "lr": 5e-3,
+                              "texture": {"lr": 5e-2}},
+                "scheduler": {"name": "multi_step", "gamma": [0.1, 0.1],
+                              "milestones": [5]},
+                "train_stat_interval": 2,
+                "val_stat_interval": 4,
+                "seed": 123,
+            },
+        }
+        trainer = Trainer(cfg, tmp_path, seed=123)
+        trainer.run(seed=123)
+
+        # metrics written
+        df = trainer.train_metrics.read_log()
+        assert len(df) >= 2
+        first, last = df["loss_rgb"].iloc[0], df["loss_rgb"].iloc[-1]
+        assert last < first, f"rgb loss did not decrease: {first} -> {last}"
+        # checkpoints + eval artifacts
+        assert (tmp_path / "model.pkl").exists()
+        assert (tmp_path / "final_scores.tsv").exists()
+        assert (tmp_path / "quali_eval" / "mesh.obj").exists()
+        assert (tmp_path / "quali_eval" / "textures" / "bkg.png").exists()
+        assert (tmp_path / "val_metrics.tsv").exists()
+
+        # resume path: restart from the checkpoint
+        cfg2 = {**cfg, "training": {**cfg["training"], "resume": str(tmp_path / "model.pkl"),
+                                     "n_epoches": 7}}
+        t2 = Trainer(cfg2, tmp_path, seed=123)
+        assert t2.epoch_start == 7
