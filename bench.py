@@ -1,0 +1,112 @@
+"""Benchmark: DTU-shaped optimization step throughput on one chip.
+
+Workload mirrors the reference's derived throughput row (BASELINE.md):
+300x400 px render, batch of 4 views, 10 blocks + env, faces_per_pixel 10,
+full loss stack, fwd+bwd+Adam — the reference does ~1.54 steps/s on one
+GPU (4h / 22k steps). Prints ONE JSON line.
+
+Usage: python bench.py [--steps N] [--backend xla|pallas]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+REFERENCE_STEPS_PER_SEC = 1.0 / 0.65  # BASELINE.md derived: ~0.65 s/step
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--backend", type=str, default=None,
+                        help="rasterizer backend override (xla|pallas)")
+    parser.add_argument("--no-perceptual", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    import __graft_entry__ as graft
+    from dbw_tpu.train.optimizer import create_optimizer
+
+    backend = args.backend
+    if backend is None:
+        backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+
+    model = graft._make_model(with_perceptual=not args.no_perceptual)
+    for r in (model.renderer, model.renderer_env, model.renderer_viz,
+              model.renderer_light):
+        r.config = r.config._replace(backend=backend)
+    try:
+        model.renderer.config.raster_config()  # sanity
+    except Exception:
+        backend = "xla"
+
+    params = model.init_params(seed=0)
+    cfg = {"training": {"optimizer": {"name": "adam", "lr": 5e-3,
+                                      "texture": {"lr": 5e-2}}}}
+    optimizer = create_optimizer(cfg, params)
+    opt_state = optimizer.init(params)
+    phase = model.phase_for_epoch(0, training=True)
+    lrs = {"main": jnp.float32(5e-3), "texture": jnp.float32(5e-2)}
+
+    B, H, W = 4, 300, 400
+    R, T = graft._cams(B)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.random((B, H, W, 3), np.float32))
+
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, key):
+        def loss_fn(p):
+            losses = model.forward(p, phase, imgs, R, T, key)
+            return losses["total"], losses
+
+        grads, losses = jax.grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, lrs)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, losses["total"]
+
+    key = jax.random.PRNGKey(0)
+    for i in range(args.warmup):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, k)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, k)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = args.steps / dt
+    # rendered Mpix/s fwd+bwd: soft blocks pass + hard env pass per view
+    mpix = B * H * W * 2 * steps_per_sec / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "optim steps/sec (DTU-shaped: 4x300x400, 10 blocks, K=10, fwd+bwd+adam)",
+                "value": round(steps_per_sec, 4),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 4),
+                "extra": {
+                    "backend": backend,
+                    "device": str(jax.devices()[0].device_kind),
+                    "rendered_mpix_per_sec": round(mpix, 2),
+                    "final_loss": float(loss),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

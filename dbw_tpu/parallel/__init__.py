@@ -1,0 +1,16 @@
+"""Multi-chip scale-out over a jax.sharding.Mesh.
+
+The reference's parallelism is vestigial (dead DDP wrapper, SURVEY.md §2c);
+the TPU-native replacements are:
+
+- data parallelism over camera views within a scene (gradients pmean'd
+  over the ``data`` mesh axis via XLA collectives on ICI),
+- seed parallelism for the 5-seed protocol (one independent optimization
+  per ``seed`` mesh-axis slot, zero communication until the final
+  min-train-loss argmin — reference multi_pipeline.sh runs these
+  sequentially),
+- multi-scene batching composes the same way across hosts over DCN.
+"""
+
+from .mesh import make_mesh, factor_devices
+from .seeds import MultiSeedRunner, stack_params

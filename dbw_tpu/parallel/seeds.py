@@ -1,0 +1,90 @@
+"""Seed-parallel training: the reference's 5-seed protocol
+(multi_pipeline.sh + min-train-loss auto selection, README.md:152-157) as
+ONE compiled multi-chip program.
+
+Layout: params get a leading seed axis sharded over the mesh ``seed`` axis;
+the per-step view batch is sharded over the ``data`` axis inside each seed
+column. The step is a shard_map: each device computes its seeds' gradients
+on its view shard, pmean's them over ``data`` (ICI all-reduce inserted by
+XLA), and applies Adam locally. Selection at the end is a device argmin
+over the all-gathered per-seed losses.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+
+def stack_params(params_list):
+    """Stack per-seed SceneParams into one pytree with leading seed axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params_list)
+
+
+def unstack_params(stacked, i):
+    return jax.tree_util.tree_map(lambda x: x[i], stacked)
+
+
+class MultiSeedRunner:
+    """Compiles and runs the seed x data sharded train step."""
+
+    def __init__(self, model, optimizer, mesh):
+        self.model = model
+        self.optimizer = optimizer
+        self.mesh = mesh
+        self.n_seed_devices = mesh.shape["seed"]
+        self.n_data = mesh.shape["data"]
+        self._step = self._build_step()
+
+    def _build_step(self):
+        model, optimizer = self.model, self.optimizer
+        mesh = self.mesh
+
+        def per_seed(params, opt_state, imgs, R, T, phase, lrs, key):
+            def loss_fn(p):
+                losses = model.forward(p, phase, imgs, R, T, key)
+                return losses["total"], losses
+
+            grads, losses = jax.grad(loss_fn, has_aux=True)(params)
+            grads = jax.lax.pmean(grads, "data")
+            losses = jax.tree_util.tree_map(
+                lambda l: jax.lax.pmean(l, "data"), losses
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, lrs)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            return params, opt_state, losses["total"]
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(
+                P("seed"), P("seed"),                  # params, opt_state
+                P("data"), P("data"), P("data"),       # imgs, R, T (view batch)
+                P(), P(), P("seed"),                   # phase, lrs, keys
+            ),
+            out_specs=(P("seed"), P("seed"), P("seed")),
+            check_vma=False,
+        )
+        def sharded_step(params, opt_state, imgs, R, T, phase, lrs, keys):
+            # params: (S_local, ...); imgs: (B_local, H, W, 3)
+            step = jax.vmap(
+                lambda p, o, k: per_seed(p, o, imgs, R, T, phase, lrs, k)
+            )
+            return step(params, opt_state, keys)
+
+        return jax.jit(sharded_step, donate_argnums=(0, 1))
+
+    def step(self, stacked_params, stacked_opt, imgs, R, T, phase, lrs, keys):
+        """stacked_params/opt: leading S axis; imgs/R/T: (B, ...) global batch
+        sharded over data; keys: (S, 2) uint32. Returns (params, opt, losses
+        (S,))."""
+        return self._step(stacked_params, stacked_opt, imgs, R, T, phase, lrs, keys)
+
+    def select_best(self, stacked_params, losses):
+        """min-train-loss auto selection (reference README.md:152-157)."""
+        best = int(jnp.argmin(losses))
+        return unstack_params(stacked_params, best), best

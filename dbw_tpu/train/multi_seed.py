@@ -1,0 +1,137 @@
+"""Multi-seed training driver: the reference's multi_pipeline.sh (5
+sequential seeded runs + manual min-loss selection, scripts/
+multi_pipeline.sh:12-23) as one seed-parallel program.
+
+On an S-seed mesh each optimization runs on its own devices with zero
+cross-seed traffic; on a single chip the seed axis is just a vmapped
+leading dimension (still one compiled program — far cheaper than S
+sequential runs because the per-step launch overhead amortizes and XLA
+overlaps the independent seeds' compute)."""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import create_train_val_test_loader
+from ..models import create_model
+from ..train.checkpoint import save_checkpoint
+from ..train.optimizer import create_optimizer
+from ..train.scheduler import create_scheduler
+from ..utils.logger import print_log
+from ..utils.misc import path_mkdir, use_seed
+from ..parallel.seeds import stack_params, unstack_params
+
+
+class MultiSeedTrainer:
+    """Trains S seeds of one scene simultaneously; selects min train loss."""
+
+    def __init__(self, cfg, run_dir, seeds):
+        self.run_dir = path_mkdir(run_dir)
+        self.cfg = cfg
+        self.seeds = list(seeds)
+        S = len(self.seeds)
+        self.train_loader, self.val_loader, self.test_loader = (
+            create_train_val_test_loader(cfg)
+        )
+        self.dataset = self.train_loader.dataset
+        self.model = create_model(cfg, self.dataset.img_size)
+        self.model.set_camera(self.dataset.K[0])
+        self.batch_size = cfg["training"].get("batch_size", 4)
+        self.n_epoches = cfg["training"]["n_epoches"]
+
+        params_list = [self.model.init_params(seed=s) for s in self.seeds]
+        self.params = stack_params(params_list)
+        self.optimizer = create_optimizer(cfg, params_list[0])
+        self.opt_state = stack_params(
+            [self.optimizer.init(p) for p in params_list]
+        )
+        self.scheduler = create_scheduler(cfg, self.optimizer.base_lrs)
+        self._key = jax.random.PRNGKey(max(self.seeds) + 1)
+
+        model, optimizer = self.model, self.optimizer
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(params_S, opt_S, imgs, R, T, phase, lrs, keys):
+            def one(p, o, k):
+                def loss_fn(pp):
+                    losses = model.forward(pp, phase, imgs, R, T, k)
+                    return losses["total"], losses
+
+                grads, losses = jax.grad(loss_fn, has_aux=True)(p)
+                updates, o = optimizer.update(grads, o, lrs)
+                p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
+                return p, o, losses["total"]
+
+            return jax.vmap(one)(params_S, opt_S, keys)
+
+        self._step = step
+
+    def run(self):
+        S = len(self.seeds)
+        t0 = time.time()
+        loss_sums = np.zeros(S)
+        for epoch in range(1, self.n_epoches + 1):
+            phase = self.model.phase_for_epoch(epoch - 1, training=True)
+            lrs = {
+                k: jnp.float32(v)
+                for k, v in self.scheduler.lrs(epoch - 1).items()
+            }
+            loss_sums[:] = 0.0
+            n_steps = 0
+            for inp, _ in self.train_loader:
+                imgs, n_real = _pad(inp["imgs"], self.batch_size)
+                R, _ = _pad(inp["R"], self.batch_size)
+                T, _ = _pad(inp["T"], self.batch_size)
+                self._key, *keys = jax.random.split(self._key, S + 1)
+                self.params, self.opt_state, losses = self._step(
+                    self.params, self.opt_state,
+                    jnp.asarray(imgs), jnp.asarray(R), jnp.asarray(T),
+                    phase, lrs, jnp.stack(keys),
+                )
+                loss_sums += np.asarray(losses)
+                n_steps += 1
+            if epoch % max(self.n_epoches // 10, 1) == 0 or epoch == 1:
+                print_log(
+                    f"[multi-seed] epoch {epoch}/{self.n_epoches} "
+                    f"losses={np.round(loss_sums / max(n_steps, 1), 5).tolist()} "
+                    f"({time.time() - t0:.1f}s)"
+                )
+
+        final_losses = loss_sums / max(n_steps, 1)
+        best = int(np.argmin(final_losses))
+        print_log(
+            f"[multi-seed] final per-seed loss={final_losses.round(5).tolist()}"
+            f" -> auto-selected seed {self.seeds[best]} (min train loss)"
+        )
+        for i, s in enumerate(self.seeds):
+            p_i = unstack_params(self.params, i)
+            o_i = unstack_params(self.opt_state, i)
+            save_checkpoint(
+                self.run_dir / f"seed{s}" / "model.pkl", p_i, o_i,
+                self.n_epoches, 1, model_kwargs=self.cfg.get("model", {}),
+            )
+        best_params = unstack_params(self.params, best)
+        save_checkpoint(
+            self.run_dir / "model.pkl", best_params,
+            unstack_params(self.opt_state, best), self.n_epoches, 1,
+            model_kwargs=self.cfg.get("model", {}),
+        )
+        with open(self.run_dir / "seed_selection.tsv", "w") as f:
+            f.write("seed\tfinal_train_loss\tselected\n")
+            for i, s in enumerate(self.seeds):
+                f.write(f"{s}\t{final_losses[i]:.6f}\t{int(i == best)}\n")
+        return best_params, self.seeds[best], final_losses
+
+
+def _pad(arr, bs):
+    n = len(arr)
+    if n == bs:
+        return arr, n
+    reps = np.repeat(arr[-1:], bs - n, axis=0)
+    return np.concatenate([arr, reps], 0), n
