@@ -67,19 +67,16 @@ class Renderer:
 
     # -- single view ------------------------------------------------------
 
-    def render_view(self, scene: MeshScene, R, T, sigma=None):
-        """Render one view -> (H, W, 4) RGBA in [0, 1]."""
+    def _sigma_blur(self, sigma):
+        cfg = self.config
+        sigma = jnp.asarray(cfg.sigma if sigma is None else sigma, jnp.float32)
+        return sigma, jnp.float32(cfg.blur_radius_factor) * sigma
+
+    def _shade_from_p2f(self, scene, geom, p2f, R, sigma):
+        """Differentiable stage: interpolate + shade + blend one view."""
         cfg = self.config
         rcfg = cfg.raster_config()
-        sigma = jnp.asarray(cfg.sigma if sigma is None else sigma, jnp.float32)
-        blur = jnp.float32(cfg.blur_radius_factor) * sigma
-
-        geom = project_faces(
-            scene.verts, scene.faces, R, T, self.camera, z_clip=cfg.z_clip
-        )
-        p2f = rasterize(geom, blur, rcfg)
         frags = interpolate_fragments(p2f, geom, rcfg, detach_bary=cfg.detach_bary)
-
         if cfg.shading == "flat":
             colors = shade_flat(
                 frags, scene, R, cfg.light_direction, cfg.ambient_color or (0.7,) * 3,
@@ -87,18 +84,50 @@ class Renderer:
             )
         else:
             colors = shade_raw(frags, scene, cfg.ambient_color)
-
         alpha = fragment_alpha(frags, sigma, clip_inside=cfg.clip_inside)
         idx = jnp.maximum(frags.pix_to_face, 0)
         alpha = alpha * scene.faces_alpha[idx]
         img = layered_blend(colors, alpha, cfg.background_color)
-
         if cfg.supersample > 1:
             img = _avg_pool_2d(img, cfg.supersample)
         return img
 
+    def render_view(self, scene: MeshScene, R, T, sigma=None):
+        """Render one view -> (H, W, 4) RGBA in [0, 1]."""
+        cfg = self.config
+        rcfg = cfg.raster_config()
+        sigma, blur = self._sigma_blur(sigma)
+        geom = project_faces(
+            scene.verts, scene.faces, R, T, self.camera, z_clip=cfg.z_clip
+        )
+        p2f = rasterize(geom, blur, rcfg)
+        return self._shade_from_p2f(scene, geom, p2f, R, sigma)
+
     def render(self, scene: MeshScene, R, T, sigma=None):
-        """Batched over views: R (B, 3, 3), T (B, 3) -> (B, H, W, 4)."""
+        """Batched over views: R (B, 3, 3), T (B, 3) -> (B, H, W, 4).
+
+        On the pallas backend the selection kernel runs ONCE over the whole
+        view batch (views are a grid axis), then the differentiable stage
+        vmaps per view."""
+        cfg = self.config
+        if cfg.backend == "pallas":
+            from .rasterize_pallas import pack_faces, rasterize_pallas_batched
+
+            rcfg = cfg.raster_config()
+            sigma, blur = self._sigma_blur(sigma)
+            geom_b = jax.vmap(
+                lambda r, t: project_faces(
+                    scene.verts, scene.faces, r, t, self.camera, z_clip=cfg.z_clip
+                )
+            )(R, T)
+            geom_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, geom_b)
+            packed = jax.vmap(pack_faces)(geom_sg)
+            p2f = rasterize_pallas_batched(
+                packed, jax.lax.stop_gradient(blur), rcfg
+            )
+            return jax.vmap(
+                lambda g, p, r: self._shade_from_p2f(scene, g, p, r, sigma)
+            )(geom_b, p2f, R)
         return jax.vmap(lambda r, t: self.render_view(scene, r, t, sigma))(R, T)
 
     # -- wireframe overlays ----------------------------------------------
@@ -108,7 +137,9 @@ class Renderer:
         (reference: src/model/renderer.py:134-146). Returns
         (mask (H*s, W*s), pix2face (H*s, W*s))."""
         cfg = self.config
-        rcfg = cfg.raster_config()._replace(faces_per_pixel=1)
+        # viz-only path, stays on the XLA backend (runs rarely; avoids
+        # vmapping the pallas kernel)
+        rcfg = cfg.raster_config()._replace(faces_per_pixel=1, backend="xla")
         geom = project_faces(
             scene.verts, scene.faces, R, T, self.camera, z_clip=cfg.z_clip
         )

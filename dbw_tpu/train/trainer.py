@@ -112,6 +112,10 @@ class Trainer:
             self.run_dir / "reconstructions_syn", self.viz_samples, out_ext="png"
         )
         self.txt_logger = ImageLogger(self.run_dir / "txt_blocks", out_ext=out_ext)
+        from ..utils.visualizer import Visualizer
+
+        viz_on = cfg["training"].get("visualizer_port") if self.with_training else None
+        self.visualizer = Visualizer(viz_on, self.run_dir)
 
     # ------------------------------------------------------------------
 
@@ -252,12 +256,24 @@ class Trainer:
             LOG_FMT(epoch, self.n_epoches, batch, self.n_batches,
                     f"val_metrics: {self.val_metrics}")[:1000]
         )
+        from ..utils.colors import fancy_colormap
+
+        colors = (fancy_colormap(
+            np.linspace(0, 1, len(opacities) + 1)[1:]) * 255).astype(np.uint8)
+        self.visualizer.upload_lineplot(
+            it, self.val_metrics.get_named_values(), title="opacities",
+            colors=colors,
+        )
         self.val_metrics.log_and_reset(it=it, epoch=epoch, batch=batch)
 
     def log_train_metrics(self, it, epoch, batch):
         print_log(
             LOG_FMT(epoch, self.n_epoches, batch, self.n_batches,
                     f"train_metrics: {self.train_metrics}")[:1000]
+        )
+        self.visualizer.upload_lineplot(
+            it, self.train_metrics.get_named_values(lambda s: "loss" in s),
+            title="train_losses",
         )
         self.train_metrics.log_and_reset(it=it, epoch=epoch, batch=batch)
 
@@ -288,16 +304,29 @@ class Trainer:
         rec = predict(self.params, phase, R, T, self._next_key())
         rec = self._with_edges(np.asarray(rec), R, T, phase)
         self.rec_logger.save(rec, cur_iter)
+        gt = np.asarray(self.viz_samples["imgs"])
+        self.visualizer.upload_images(
+            np.stack([gt, rec], 1).reshape(-1, *gt.shape[1:]), "recons", 2
+        )
 
         phase_hard = phase._replace(filter_transparent=jnp.asarray(True))
         rec2 = predict(self.params, phase_hard, R, T, self._next_key())
         self.rec2_logger.save(np.asarray(rec2), cur_iter)
+        self.visualizer.upload_images(
+            np.stack([gt, np.asarray(rec2)], 1).reshape(-1, *gt.shape[1:]),
+            "recons_hard", 2,
+        )
 
         rec3 = predict_syn(self.params, phase, R, T)
         self.rec3_logger.save(np.asarray(rec3), cur_iter)
+        self.visualizer.upload_images(
+            np.stack([gt, np.asarray(rec3)], 1).reshape(-1, *gt.shape[1:]),
+            "recons_syn", 2,
+        )
 
         txt = self.model.get_arranged_block_txt(self.params)
         self.txt_logger.save(txt[None], cur_iter)
+        self.visualizer.upload_images(txt[None], "textures", 1, max_size=256)
 
     def _with_edges(self, rec, R, T, phase):
         """Overlay per-block wireframes on the soft reconstruction (reference

@@ -1,0 +1,225 @@
+"""Tests for eval utilities, chamfer, IO, config, colors, mesh utils."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dbw_tpu.losses.chamfer import chamfer_distance, nn_dist2_idx
+from dbw_tpu.eval.metrics import (
+    AverageMeter,
+    Metrics,
+    MeshEvaluator,
+    ProxyEvaluator,
+    sample_points_from_mesh,
+)
+from dbw_tpu.eval.icp import gradient_icp
+from dbw_tpu.eval.ransac import ransac_plane, remove_ground_plane
+from dbw_tpu.ops.icosphere import icosphere
+from dbw_tpu.ops.mesh_utils import (
+    init_rotations,
+    normal_consistency,
+    normalize_mesh,
+    repeat_mesh,
+    voxelize,
+)
+from dbw_tpu.utils.config import load_yaml, update_recursive
+from dbw_tpu.utils.colors import fancy_colormap
+from dbw_tpu.utils.obj_io import load_obj, load_ply, save_obj, save_ply
+
+
+class TestChamfer:
+    def test_nn_exact(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((100, 3)), jnp.float32)
+        y = jnp.asarray(rng.random((257, 3)), jnp.float32)
+        d2, idx = nn_dist2_idx(x, y, chunk=64)
+        ref = ((np.asarray(x)[:, None] - np.asarray(y)[None]) ** 2).sum(-1)
+        np.testing.assert_allclose(d2, ref.min(1), atol=1e-5)
+        np.testing.assert_array_equal(idx, ref.argmin(1))
+
+    def test_identical_clouds_zero(self):
+        x = jnp.asarray(np.random.default_rng(1).random((64, 3)), jnp.float32)
+        cham, _ = chamfer_distance(x[None], x[None])
+        assert float(cham) == pytest.approx(0.0, abs=1e-5)
+
+    def test_l1_and_direction_none(self):
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.random((32, 3)), jnp.float32)
+        y = x + 0.1
+        (cx, cy), _ = chamfer_distance(
+            x[None], y[None], return_L1=True, direction_reduction="none"
+        )
+        assert cx > 0 and cy > 0
+        cham_sum, _ = chamfer_distance(x[None], y[None], return_L1=True)
+        assert float(cham_sum) == pytest.approx(float(cx) + float(cy), rel=1e-5)
+
+    def test_normals(self):
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.random((32, 3)), jnp.float32)
+        n = jnp.ones((32, 3)) / np.sqrt(3)
+        cham, chn = chamfer_distance(
+            x[None], x[None], x_normals=n[None], y_normals=n[None]
+        )
+        assert float(chn) == pytest.approx(0.0, abs=1e-5)
+
+
+class TestMeters:
+    def test_average_meter(self):
+        m = AverageMeter()
+        m.update(1.0, N=2)
+        m.update(4.0, N=1)
+        assert m.avg == pytest.approx(2.0)
+
+    def test_metrics_tsv(self, tmp_path):
+        m = Metrics("a", "b", log_file=tmp_path / "m.tsv")
+        m.update({"a": 1.0, "b": 2.0})
+        m.log_and_reset(it=1, epoch=1, batch=1)
+        m.update("a", 5.0)
+        m.log_and_reset(it=2, epoch=1, batch=2)
+        df = m.read_log()
+        assert len(df) == 2
+        assert df["a"].iloc[1] == pytest.approx(5.0)
+
+    def test_proxy_iou(self):
+        p = ProxyEvaluator()
+        a = np.zeros((1, 4, 4))
+        a[0, :2] = 1
+        assert p.evaluate(a[0], a[0])["mask_iou"] == pytest.approx(1.0)
+        b = np.zeros((1, 4, 4))
+        b[0, 1:3] = 1
+        assert p.evaluate(a[0], b[0])["mask_iou"] == pytest.approx(1 / 3, rel=1e-3)
+
+
+class TestMeshEval:
+    def test_sample_points_on_surface(self):
+        v, f = icosphere(1)
+        pts, normals = sample_points_from_mesh(v, f, 2000, return_normals=True)
+        r = np.linalg.norm(pts, axis=1)
+        assert 0.8 < r.min() and r.max() < 1.001
+        assert np.allclose(np.linalg.norm(normals, axis=1), 1, atol=1e-5)
+
+    def test_mesh_evaluator_identity(self):
+        v, f = icosphere(2)
+        pts, normals = sample_points_from_mesh(v * 0.5, f, 5000, return_normals=True)
+        ev = MeshEvaluator(run_icp=False, fast_cpu=True)
+        ev.N = 5000
+        res = ev.evaluate(v * 0.5, f, pts, normals)
+        assert res["chamfer-L1"] < 0.3  # CHAMFER_FACTOR x small distance
+        # normal-cos is a CONSISTENCY score (1 - cosine distance): 1 = perfect
+        assert res["normal-cos"] > 0.9
+
+    def test_gradient_icp_recovers_translation(self):
+        rng = np.random.default_rng(0)
+        pc = rng.random((256, 3)).astype(np.float32)
+        shifted = pc + np.array([0.3, -0.2, 0.1], np.float32)
+        aligned, (R, T, s) = gradient_icp(
+            shifted[None], pc[None], estimate_scale=False, n_iter=150, lr=0.02
+        )
+        d0 = np.abs(shifted - pc).mean()
+        d1 = np.abs(np.asarray(aligned[0]) - pc).mean()
+        assert d1 < d0 * 0.5
+
+
+class TestRansac:
+    def test_plane_recovery(self):
+        rng = np.random.default_rng(0)
+        xy = rng.uniform(-1, 1, (500, 2))
+        z = 0.3 * xy[:, 0] - 0.2 * xy[:, 1] + 0.5
+        pts = np.concatenate([xy, z[:, None]], 1).astype(np.float32)
+        outliers = rng.uniform(-1, 1, (50, 3)).astype(np.float32)
+        allp = np.concatenate([pts, outliers])
+        coef, inl = ransac_plane(jnp.asarray(allp), threshold=0.02)
+        np.testing.assert_allclose(coef, [0.3, -0.2, 0.5], atol=0.05)
+        assert np.asarray(inl)[:500].mean() > 0.9
+
+    def test_remove_ground(self):
+        rng = np.random.default_rng(1)
+        ground = np.concatenate(
+            [rng.uniform(-1, 1, (400, 2)), np.zeros((400, 1))], 1
+        )
+        obj = rng.uniform(0.3, 0.8, (100, 3))
+        kept, _ = remove_ground_plane(
+            np.concatenate([ground, obj]).astype(np.float32), axis=2
+        )
+        assert 50 <= len(kept) <= 200  # object survives, ground mostly gone
+
+
+class TestIO:
+    def test_ply_roundtrip(self, tmp_path):
+        pts = np.random.default_rng(0).random((100, 3)).astype(np.float32)
+        save_ply(tmp_path / "a.ply", pts)
+        out = load_ply(tmp_path / "a.ply")
+        np.testing.assert_allclose(out, pts, atol=1e-6)
+
+    def test_ply_with_colors(self, tmp_path):
+        pts = np.random.default_rng(0).random((10, 3)).astype(np.float32)
+        save_ply(tmp_path / "c.ply", pts, colors=np.ones((10, 3)) * 0.5)
+        out = load_ply(tmp_path / "c.ply")
+        np.testing.assert_allclose(out, pts, atol=1e-6)
+
+    def test_obj_roundtrip(self, tmp_path):
+        v, f = icosphere(1)
+        save_obj(tmp_path / "m.obj", v, f)
+        v2, f2 = load_obj(tmp_path / "m.obj")
+        np.testing.assert_allclose(v2, v, atol=1e-5)
+        np.testing.assert_array_equal(f2, f)
+
+    def test_obj_textured_writes_mtl_png(self, tmp_path):
+        v, f = icosphere(0)
+        uv = np.random.default_rng(0).random((len(v), 2)).astype(np.float32)
+        tex = np.random.default_rng(0).random((16, 16, 3)).astype(np.float32)
+        save_obj(tmp_path / "t.obj", v, f, verts_uvs=uv, faces_uvs=f,
+                 texture_map=tex)
+        assert (tmp_path / "t.mtl").exists()
+        assert (tmp_path / "t.png").exists()
+        assert "mtllib" in (tmp_path / "t.obj").read_text()
+
+
+class TestConfig:
+    def test_recursive_merge(self):
+        a = {"m": {"x": 1, "y": 2}, "k": 0}
+        update_recursive(a, {"m": {"y": 3}, "n": 4})
+        assert a == {"m": {"x": 1, "y": 3}, "k": 0, "n": 4}
+
+    def test_load_yaml_with_default(self, tmp_path):
+        (tmp_path / "default.yml").write_text("a: 1\nb:\n  c: 2\n  d: 3\n")
+        (tmp_path / "scene.yml").write_text("b:\n  c: 9\n")
+        cfg = load_yaml(tmp_path / "scene.yml")
+        assert cfg == {"a": 1, "b": {"c": 9, "d": 3}}
+
+
+class TestColorsMeshUtils:
+    def test_fancy_colormap_range(self):
+        c = fancy_colormap(np.linspace(0, 1, 11))
+        assert c.shape == (11, 3)
+        assert c.min() >= 0 and c.max() <= 1
+        np.testing.assert_allclose(c[0], [1.0, 0.8431, 0.0], atol=1e-3)  # gold
+
+    def test_normalize_mesh(self):
+        v, f = icosphere(1)
+        out, off, scale = normalize_mesh(v * 3 + 1)
+        assert np.abs(out).max() == pytest.approx(0.5, rel=1e-5)
+
+    def test_repeat_mesh(self):
+        v, f = icosphere(0)
+        v2, f2 = repeat_mesh(v, f, 3)
+        assert len(v2) == 3 * len(v) and len(f2) == 3 * len(f)
+        assert f2.max() == 3 * len(v) - 1
+
+    def test_normal_consistency_sphere_small(self):
+        v, f = icosphere(2)
+        nc = float(normal_consistency(v, f))
+        assert 0 < nc < 0.1  # smooth sphere -> near-aligned neighbor normals
+
+    def test_voxelize(self):
+        v, f = icosphere(1)
+        grid = voxelize(v, f, size=16)
+        assert grid.shape == (16, 16, 16)
+        assert grid.sum() > 50
+
+    def test_init_rotations_grid(self):
+        out = init_rotations("uniform", n_elev=3, n_azim=4)
+        assert out.shape == (12, 3)
+        assert len(np.unique(out[:, 0])) == 4  # azimuths
