@@ -64,15 +64,34 @@ def sample_mesh_surface(vertices, triangles, density=DOWNSAMPLE_DENSITY):
 
 def greedy_radius_downsample(points, radius=DOWNSAMPLE_DENSITY):
     """Greedy keep-first downsampling over radius neighborhoods (identical
-    semantics to reference dtu_eval.py:87-95)."""
-    tree = cKDTree(points)
-    neighbor_lists = tree.query_ball_point(points, r=radius, workers=-1)
-    mask = np.ones(len(points), dtype=bool)
-    for curr, idxs in enumerate(neighbor_lists):
-        if mask[curr]:
-            mask[idxs] = False
-            mask[curr] = True
+    semantics to reference dtu_eval.py:87-95). Uses the native C++ grid-hash
+    filter when available (O(n), no Python loop), scipy fallback otherwise."""
+    from ..native import greedy_radius_downsample_native
+
+    mask = greedy_radius_downsample_native(points, radius)
+    if mask is None:
+        tree = cKDTree(points)
+        neighbor_lists = tree.query_ball_point(points, r=radius, workers=-1)
+        mask = np.ones(len(points), dtype=bool)
+        for curr, idxs in enumerate(neighbor_lists):
+            if mask[curr]:
+                mask[idxs] = False
+                mask[curr] = True
     return points[mask], mask
+
+
+def nn_distances(ref_points, queries):
+    """1-NN Euclidean distances from each query to ref_points; native KD-tree
+    when available, scipy cKDTree fallback."""
+    try:
+        from ..native import NativeKDTree
+
+        dist, _ = NativeKDTree(ref_points).query(queries)
+        return dist.astype(np.float64)
+    except Exception:
+        tree = cKDTree(ref_points)
+        dist, _ = tree.query(queries, k=1, workers=-1)
+        return dist
 
 
 def evaluate_mesh(verts, faces, scan_id, dataset_dir, eval_dir, suffix="",
@@ -119,9 +138,7 @@ def evaluate_mesh(verts, faces, scan_id, dataset_dir, eval_dir, suffix="",
         dataset_dir / "Points" / "stl" / f"stl{scan_id:03}_total.ply"
     ).astype(np.float64)
 
-    stl_tree = cKDTree(stl)
-    dist_d2s, _ = stl_tree.query(data_in_obs, k=1, workers=-1)
-    dist_d2s = dist_d2s[:, None]
+    dist_d2s = nn_distances(stl, data_in_obs)[:, None]
     mean_d2s = dist_d2s[dist_d2s < MAX_DIST].mean()
 
     ground_plane = loadmat(dataset_dir / "ObsMask" / f"Plane{scan_id}.mat")["P"]
@@ -129,9 +146,7 @@ def evaluate_mesh(verts, faces, scan_id, dataset_dir, eval_dir, suffix="",
     above = (ground_plane.reshape((1, 4)) * stl_hom).sum(-1) > 0
     stl_above = stl[above]
 
-    data_tree = cKDTree(data_in)
-    dist_s2d, _ = data_tree.query(stl_above, k=1, workers=-1)
-    dist_s2d = dist_s2d[:, None]
+    dist_s2d = nn_distances(data_in, stl_above)[:, None]
     mean_s2d = dist_s2d[dist_s2d < MAX_DIST].mean()
 
     if save_viz:
