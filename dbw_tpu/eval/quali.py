@@ -36,6 +36,14 @@ def qualitative_eval(model, params, loader, path, NV=240, n_views=10,
         convert_to_img(img).save(out / f"block_{str(k).zfill(2)}.png")
 
     # meshes (reference dbw.py:508-514)
+    if render_videos:
+        from ..render.trajectory import save_mesh_as_video
+
+        phase_v = Phase.eval_phase(filter_transparent=True)
+        scene_v, _, _ = model.build_scene(params, phase_v)
+        save_mesh_as_video(
+            model.renderer_viz, scene_v, path / "rotated_mesh.mp4", n_views=60
+        )
     export_scene_obj(model, params, path / "mesh_full.obj", filter_transparent=True)
     export_scene_obj(
         model, params, path / "mesh.obj", filter_transparent=True,

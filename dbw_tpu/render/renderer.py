@@ -82,6 +82,13 @@ class Renderer:
                 frags, scene, R, cfg.light_direction, cfg.ambient_color or (0.7,) * 3,
                 cfg.diffuse_color,
             )
+        elif cfg.shading == "phong":
+            from .shading import shade_phong
+
+            colors = shade_phong(
+                frags, scene, R, cfg.light_direction, cfg.ambient_color or (0.7,) * 3,
+                cfg.diffuse_color,
+            )
         else:
             colors = shade_raw(frags, scene, cfg.ambient_color)
         alpha = fragment_alpha(frags, sigma, clip_inside=cfg.clip_inside)

@@ -49,9 +49,50 @@ def shade_flat(
     n = face_normals(scene.verts, scene.faces)  # (F, 3) world
     idx = jnp.maximum(fragments.pix_to_face, 0)
     nf = n[idx]  # (H, W, K, 3)
+    light = _directional_light(nf, R, light_direction_cam, ambient_color,
+                               diffuse_color)
+    return texels * light
+
+
+def shade_phong(
+    fragments: Fragments,
+    scene: MeshScene,
+    R,
+    light_direction_cam,
+    ambient_color,
+    diffuse_color,
+):
+    """Per-pixel (Phong) shading with barycentric-interpolated vertex
+    normals — the reference's optional 'phong' shading type used by the
+    eye-light viz paths (renderer.py:195-196, 304-310). Specular is zero in
+    all shipped configs so only ambient + diffuse are computed."""
+    texels = sample_texture_colors(fragments, scene)
+    vn = vertex_normals(scene.verts, scene.faces)  # (V, 3)
+    from .interpolate import interpolate_face_attrs
+
+    n = interpolate_face_attrs(fragments, vn[scene.faces])  # (H, W, K, 3)
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True).clip(1e-12)
+    light = _directional_light(n, R, light_direction_cam, ambient_color,
+                               diffuse_color)
+    return texels * light
+
+
+def _directional_light(normals, R, light_direction_cam, ambient_color,
+                       diffuse_color):
     d_cam = jnp.asarray(light_direction_cam, dtype=jnp.float32)
     d_world = d_cam @ R.T  # view->world for row vectors (R orthogonal)
     d_world = d_world / jnp.linalg.norm(d_world).clip(1e-12)
-    lam = jnp.maximum(jnp.sum(nf * d_world, axis=-1, keepdims=True), 0.0)
-    light = jnp.asarray(ambient_color) + jnp.asarray(diffuse_color) * lam
-    return texels * light
+    lam = jnp.maximum(jnp.sum(normals * d_world, axis=-1, keepdims=True), 0.0)
+    return jnp.asarray(ambient_color) + jnp.asarray(diffuse_color) * lam
+
+
+def vertex_normals(verts, faces):
+    """Area-weighted vertex normals (scatter-add over faces)."""
+    fn = jnp.cross(
+        verts[faces[:, 1]] - verts[faces[:, 0]],
+        verts[faces[:, 2]] - verts[faces[:, 0]],
+    )  # area-weighted
+    vn = jnp.zeros_like(verts)
+    for k in range(3):
+        vn = vn.at[faces[:, k]].add(fn)
+    return vn / jnp.linalg.norm(vn, axis=-1, keepdims=True).clip(1e-12)

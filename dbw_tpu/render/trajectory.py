@@ -22,3 +22,51 @@ def get_rotated_views_traj(n_views=50, elev=30.0, dist=2.732):
     """Full turntable trajectory (reference renderer.py:319-324)."""
     azim = np.linspace(-180, 180, n_views)
     return look_at_rotation(dist, elev, azim)
+
+
+def render_rotated_views(renderer, scene, n_views=50, elev=30.0, dist=2.5,
+                         R=None, T=None, chunk=10):
+    """Turntable renders of a scene (reference renderer.py:290-330): batches
+    of `chunk` views to bound memory; optional base pose composed with the
+    turntable. Returns (n_views, H, W, 4) numpy."""
+    import jax
+    import jax.numpy as jnp
+
+    R_t, T_t = get_rotated_views_traj(n_views, elev=0.0 if R is not None else elev,
+                                      dist=0.0 if T is not None else dist)
+    R_t, T_t = jnp.asarray(R_t), jnp.asarray(T_t)
+    if R is not None:
+        R_t = jnp.einsum("nij,jk->nik", R_t, jnp.asarray(R))
+    if T is not None:
+        T_t = T_t + jnp.asarray(T)
+
+    render = jax.jit(lambda r, t: renderer.render(scene, r, t))
+    out = []
+    for k in range(0, n_views, chunk):
+        Rc, Tc = R_t[k : k + chunk], T_t[k : k + chunk]
+        pad = chunk - len(Rc)
+        if pad:
+            Rc = jnp.concatenate([Rc, jnp.repeat(Rc[-1:], pad, 0)])
+            Tc = jnp.concatenate([Tc, jnp.repeat(Tc[-1:], pad, 0)])
+        imgs = np.asarray(render(Rc, Tc))
+        out.append(imgs[: len(imgs) - pad if pad else chunk])
+    return np.concatenate(out)
+
+
+def save_mesh_as_video(renderer, scene, filename, n_views=240, elev=30.0,
+                       dist=2.732):
+    """Turntable video of a scene (reference renderer.py:390-394)."""
+    from ..utils.image import save_video
+
+    frames = render_rotated_views(renderer, scene, n_views, elev, dist)
+    save_video(frames[..., :3], filename)
+
+
+def save_mesh_as_gif(renderer, scene, filename, n_views=50, elev=30.0,
+                     dist=2.732):
+    from ..utils.image import convert_to_img
+
+    frames = render_rotated_views(renderer, scene, n_views, elev, dist)
+    imgs = [convert_to_img(f[..., :3]) for f in frames]
+    imgs[0].save(filename, save_all=True, append_images=imgs[1:], duration=42,
+                 loop=0)
