@@ -1,0 +1,114 @@
+"""Multi-seed / mesh-parallel tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dbw_tpu.parallel.mesh import factor_devices, make_mesh
+from dbw_tpu.parallel.seeds import MultiSeedRunner, stack_params, unstack_params
+
+
+def test_factor_devices():
+    assert factor_devices(8) == (2, 4)
+    assert factor_devices(1) == (1, 1)
+    assert factor_devices(5) == (5, 1)
+    assert factor_devices(4) == (1, 4)
+
+
+def test_make_mesh_8():
+    mesh = make_mesh()
+    assert mesh.shape["seed"] * mesh.shape["data"] == 8
+
+
+@pytest.mark.slow
+def test_multi_seed_runner_step_matches_single(tmp_path):
+    """Seed-parallel sharded step must produce the same update as the plain
+    single-seed step for each seed."""
+    from dbw_tpu.models.dbw import BlocksWorld
+    from dbw_tpu.train.optimizer import create_optimizer
+
+    model = BlocksWorld(
+        (16, 24),
+        mesh=dict(n_blocks=2, txt_size=16),
+        renderer=dict(faces_per_pixel=2),
+        rend_optim=dict(decouple_rendering=True),
+        loss=dict(rgb_weight=1, tv_weight=0.1),
+    )
+    K = np.zeros((4, 4), np.float32)
+    K[0, 0] = K[1, 1] = 2.0
+    model.set_camera(K)
+
+    mesh = make_mesh()
+    S = mesh.shape["seed"]
+    n_data = mesh.shape["data"]
+    params_list = [model.init_params(seed=s) for s in range(S)]
+    cfg = {"training": {"optimizer": {"name": "adam", "lr": 1e-2}}}
+    opt = create_optimizer(cfg, params_list[0])
+    runner = MultiSeedRunner(model, opt, mesh)
+
+    B = n_data * 2
+    from dbw_tpu.ops.rotations import look_at_rotation
+
+    R, T = look_at_rotation(3.0, 20.0, jnp.linspace(-30.0, 30.0, B))
+    imgs = jnp.full((B, 16, 24, 3), 0.5)
+    phase = model.phase_for_epoch(0, training=True)
+    lrs = {"main": jnp.float32(1e-2), "texture": jnp.float32(1e-2)}
+    keys = jax.random.split(jax.random.PRNGKey(7), S)
+
+    stacked = stack_params(params_list)
+    opt_states = stack_params([opt.init(p) for p in params_list])
+    new_params, _, losses = runner.step(
+        stacked, opt_states, imgs, R, T, phase, lrs, keys
+    )
+    assert losses.shape == (S,)
+    assert np.isfinite(np.asarray(losses)).all()
+
+    # compare seed 0 against the unsharded reference step
+    def single_step(p, key):
+        def loss_fn(pp):
+            return model.forward(pp, phase, imgs, R, T, key)["total"]
+
+        grads = jax.grad(loss_fn)(p)
+        o = opt.init(p)
+        updates, _ = opt.update(grads, o, lrs)
+        return jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
+
+    ref = single_step(params_list[0], keys[0])
+    got = unstack_params(new_params, 0)
+    for name in ref._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)), np.asarray(getattr(ref, name)),
+            atol=2e-5,
+            err_msg=name,
+        )
+
+
+@pytest.mark.slow
+def test_multi_seed_trainer_e2e(tmp_path):
+    from dbw_tpu.train.multi_seed import MultiSeedTrainer
+
+    cfg = {
+        "dataset": {"name": "synthetic", "tag": "t", "img_size": [24, 32],
+                    "n_views": 6, "seed": 5},
+        "model": {
+            "name": "dbw",
+            "mesh": dict(n_blocks=2, txt_size=16, T_range=[0.5, 0.5, 0.5]),
+            "renderer": dict(faces_per_pixel=2),
+            "rend_optim": dict(decouple_rendering=True, coarse_learning=10),
+            "loss": dict(rgb_weight=1),
+        },
+        "training": {
+            "batch_size": 2, "n_epoches": 3,
+            "optimizer": {"name": "adam", "lr": 5e-3},
+            "scheduler": {"name": "multi_step", "milestones": []},
+            "train_stat_interval": 5, "val_stat_interval": 5, "seed": 1,
+        },
+    }
+    t = MultiSeedTrainer(cfg, tmp_path, seeds=[11, 22, 33])
+    best_params, best_seed, losses = t.run()
+    assert best_seed in (11, 22, 33)
+    assert (tmp_path / "seed_selection.tsv").exists()
+    assert (tmp_path / "model.pkl").exists()
+    assert len(losses) == 3
