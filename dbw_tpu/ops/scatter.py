@@ -1,0 +1,77 @@
+"""MXU-native gather/scatter for small tables.
+
+TPU has no fast hardware scatter; XLA lowers ``.at[idx].add`` to a (mostly
+serialized) scatter loop, which dominates the rasterizer's backward pass
+(gradients w.r.t. per-face attributes are scatter-adds of millions of
+fragment cotangents into a table of only a few thousand faces).
+
+When the table is small, the scatter IS a matmul:
+
+    d_table = one_hot(idx)^T @ updates        # (F, N) @ (N, C)
+
+computed in tiles over the fragment axis so the one-hot factor never
+materializes at full size — each tile builds a (tile, F) one-hot via an
+iota comparison (VPU) and contracts it on the MXU, accumulating (F, C).
+
+``gather_rows`` wraps a standard forward gather with this backward.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def one_hot_scatter_add(idx, updates, n_rows, tile=65536, precision=None):
+    """scatter-add of updates (N, C) at rows idx (N,) into (n_rows, C),
+    as a tiled one-hot matmul. Rows >= n_rows or < 0 are dropped."""
+    N, C = updates.shape
+    n_tiles = -(-N // tile)
+    pad = n_tiles * tile - N
+    idx_p = jnp.pad(idx, (0, pad), constant_values=-1)
+    upd_p = jnp.pad(updates, ((0, pad), (0, 0)))
+    idx_t = idx_p.reshape(n_tiles, tile)
+    upd_t = upd_p.reshape(n_tiles, tile, C)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, n_rows), 1)
+
+    def body(acc, args):
+        ix, up = args
+        onehot = (ix[:, None] == rows).astype(upd_p.dtype)  # (tile, n_rows)
+        acc = acc + jax.lax.dot_general(
+            onehot, up, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, None
+
+    init = jnp.zeros((n_rows, C), jnp.float32)
+    out, _ = jax.lax.scan(body, init, (idx_t, upd_t))
+    return out.astype(updates.dtype)
+
+
+@jax.custom_vjp
+def gather_rows(table, idx):
+    """table[(idx,)] with an MXU matmul backward instead of XLA scatter.
+
+    table: (F, C); idx: any int shape; out: idx.shape + (C,). Negative
+    indices read row 0 forward and receive no gradient."""
+    return table[jnp.maximum(idx, 0)]
+
+
+def _gather_fwd(table, idx):
+    return gather_rows(table, idx), (idx, table.shape[0])
+
+
+def _gather_bwd(res, g):
+    idx, F = res
+    flat_idx = idx.reshape(-1)
+    flat_g = g.reshape(-1, g.shape[-1])
+    d_table = one_hot_scatter_add(
+        jnp.where(flat_idx >= 0, flat_idx, -1), flat_g, F
+    )
+    return d_table, None
+
+
+gather_rows.defvjp(_gather_fwd, _gather_bwd)

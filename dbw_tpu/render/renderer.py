@@ -75,6 +75,8 @@ class Renderer:
     def _shade_from_p2f(self, scene, geom, p2f, R, sigma):
         """Differentiable stage: interpolate + shade + blend one view."""
         cfg = self.config
+        if cfg.shading == "raw":
+            return self._shade_fused(scene, geom, p2f, sigma)
         rcfg = cfg.raster_config()
         frags = interpolate_fragments(p2f, geom, rcfg, detach_bary=cfg.detach_bary)
         if cfg.shading == "flat":
@@ -94,6 +96,75 @@ class Renderer:
         alpha = fragment_alpha(frags, sigma, clip_inside=cfg.clip_inside)
         idx = jnp.maximum(frags.pix_to_face, 0)
         alpha = alpha * scene.faces_alpha[idx]
+        img = layered_blend(colors, alpha, cfg.background_color)
+        if cfg.supersample > 1:
+            img = _avg_pool_2d(img, cfg.supersample)
+        return img
+
+    def _shade_fused(self, scene: MeshScene, geom, p2f, sigma):
+        """TPU-optimized raw-shading path: all per-face attributes packed
+        into two tables so each fragment does ONE dynamic gather with an
+        MXU-matmul backward (ops/scatter.py) plus one gradient-free static
+        gather — instead of 4-5 separate gathers whose backward scatters
+        dominated the step (see bench ablation in BENCH notes)."""
+        import jax.numpy as jnp
+
+        from ..ops.scatter import gather_rows
+        from .cameras import ndc_pixel_centers
+        from .interpolate import Fragments
+        from .meshes import sample_atlas_bilinear
+        from .rasterize import interp_z, signed_edge_dist2
+
+        cfg = self.config
+        rcfg = cfg.raster_config()
+        F = scene.faces.shape[0]
+        # dynamic table (gradient-carrying): xy (6), z (3), face alpha (1)
+        dyn = jnp.concatenate(
+            [
+                geom.xy.reshape(F, 6),
+                geom.z,
+                scene.faces_alpha[:, None],
+                jnp.zeros((F, 2), geom.xy.dtype),  # pad to 12 columns
+            ],
+            axis=1,
+        )
+        # static table (no gradients): uv corners (6), map index (1)
+        stat = jax.lax.stop_gradient(
+            jnp.concatenate(
+                [
+                    scene.uv_verts[scene.uv_faces].reshape(F, 6),
+                    scene.map_idx[:, None].astype(jnp.float32),
+                    jnp.zeros((F, 1), jnp.float32),
+                ],
+                axis=1,
+            )
+        )
+        tab = gather_rows(dyn, p2f)          # (H, W, K, 12)
+        stab = stat[jnp.maximum(p2f, 0)]     # (H, W, K, 8), constant
+
+        shp = p2f.shape
+        xy = tab[..., :6].reshape(shp + (3, 2))
+        fz = tab[..., 6:9]
+        face_alpha = tab[..., 9]
+        uvv = stab[..., :6].reshape(shp + (3, 2))
+        mi = stab[..., 6].astype(jnp.int32)
+
+        gx, gy = ndc_pixel_centers(rcfg.image_size)
+        d2, _, bary2d = signed_edge_dist2(gx[..., None], gy[..., None], xy)
+        bary, _ = interp_z(
+            bary2d, fz, rcfg.perspective_correct, rcfg.clip_barycentric
+        )
+        if cfg.detach_bary:
+            bary = jax.lax.stop_gradient(bary)
+        valid = p2f >= 0
+        frags = Fragments(p2f, bary, fz[..., 0], d2, valid)
+
+        uv = jnp.sum(bary[..., None] * uvv, axis=-2)
+        colors = sample_atlas_bilinear(scene.atlas.maps, mi, uv)
+        if cfg.ambient_color is not None:
+            colors = colors * jnp.asarray(cfg.ambient_color)
+        alpha = fragment_alpha(frags, sigma, clip_inside=cfg.clip_inside)
+        alpha = alpha * face_alpha
         img = layered_blend(colors, alpha, cfg.background_color)
         if cfg.supersample > 1:
             img = _avg_pool_2d(img, cfg.supersample)

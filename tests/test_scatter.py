@@ -1,0 +1,52 @@
+"""MXU scatter/gather vs XLA reference semantics."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dbw_tpu.ops.scatter import gather_rows, one_hot_scatter_add
+
+
+def test_one_hot_scatter_matches_at_add():
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(0, 37, 10000), jnp.int32)
+    upd = jnp.asarray(rng.random((10000, 5), np.float32))
+    out = one_hot_scatter_add(idx, upd, 37, tile=1024)
+    ref = jnp.zeros((37, 5)).at[idx].add(upd)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_negative_indices_dropped():
+    idx = jnp.asarray([0, -1, 2, -1], jnp.int32)
+    upd = jnp.ones((4, 2))
+    out = one_hot_scatter_add(idx, upd, 3)
+    np.testing.assert_allclose(out, [[1, 1], [0, 0], [1, 1]])
+
+
+def test_gather_rows_forward():
+    table = jnp.arange(12.0).reshape(4, 3)
+    idx = jnp.asarray([[2, 0], [3, -1]], jnp.int32)
+    out = gather_rows(table, idx)
+    np.testing.assert_allclose(out[0, 0], table[2])
+    np.testing.assert_allclose(out[1, 1], table[0])  # clamped read
+
+
+def test_gather_rows_grad_matches_plain():
+    rng = np.random.default_rng(1)
+    table = jnp.asarray(rng.random((29, 4), np.float32))
+    idx = jnp.asarray(rng.integers(0, 29, (6, 7)), jnp.int32)
+    cot = jnp.asarray(rng.random((6, 7, 4), np.float32))
+
+    g1 = jax.grad(lambda t: (gather_rows(t, idx) * cot).sum())(table)
+    g2 = jax.grad(lambda t: (t[idx] * cot).sum())(table)
+    np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-5)
+
+
+def test_gather_rows_negative_no_grad():
+    table = jnp.ones((5, 2))
+    idx = jnp.asarray([-1, 1], jnp.int32)
+    g = jax.grad(lambda t: gather_rows(t, idx).sum())(table)
+    # row 0 receives nothing from the clamped -1 read; row 1 gets the grad
+    np.testing.assert_allclose(np.asarray(g)[0], 0.0)
+    np.testing.assert_allclose(np.asarray(g)[1], 1.0)
