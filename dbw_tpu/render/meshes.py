@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -75,13 +76,10 @@ def face_normals(verts, faces):
     return n / jnp.linalg.norm(n, axis=-1, keepdims=True).clip(1e-12)
 
 
-def sample_atlas_bilinear(maps, map_idx, uv):
-    """Bilinear texture lookup with align_corners=True.
+def _bilinear_corners(map_idx, uv, TH, TW):
+    """Flattened texel ids + weights of the 4 bilinear corners.
 
-    maps: (M, TH, TW, 3); map_idx: (...,) i32; uv: (..., 2) in [0, 1] with
-    v==0 at the BOTTOM of the image (pytorch3d TexturesUV convention: texture
-    row 0 is v==1). Returns (..., 3)."""
-    TH, TW = maps.shape[1], maps.shape[2]
+    Returns (ids (..., 4) int32 into (M*TH*TW), weights (..., 4))."""
     u = jnp.clip(uv[..., 0], 0.0, 1.0) * (TW - 1)
     v = (1.0 - jnp.clip(uv[..., 1], 0.0, 1.0)) * (TH - 1)
     x0 = jnp.floor(u)
@@ -92,12 +90,61 @@ def sample_atlas_bilinear(maps, map_idx, uv):
     y0 = y0.astype(jnp.int32)
     x1 = jnp.minimum(x0 + 1, TW - 1)
     y1 = jnp.minimum(y0 + 1, TH - 1)
+    base = map_idx * (TH * TW)
+    ids = jnp.stack(
+        [
+            base + y0 * TW + x0, base + y0 * TW + x1,
+            base + y1 * TW + x0, base + y1 * TW + x1,
+        ],
+        axis=-1,
+    )
+    w = jnp.stack(
+        [(1 - wx) * (1 - wy), wx * (1 - wy), (1 - wx) * wy, wx * wy], axis=-1
+    )
+    return ids, w
 
-    def g(yy, xx):
-        return maps[map_idx, yy, xx]
 
-    c00, c01 = g(y0, x0), g(y0, x1)
-    c10, c11 = g(y1, x0), g(y1, x1)
-    top = c00 * (1 - wx[..., None]) + c01 * wx[..., None]
-    bot = c10 * (1 - wx[..., None]) + c11 * wx[..., None]
-    return top * (1 - wy[..., None]) + bot * wy[..., None]
+@jax.custom_vjp
+def _sample_flat(maps_flat, ids, w):
+    """maps_flat: (M*TH*TW, 3); ids/w: (..., 4). One gather forward, one
+    flattened scatter-add backward (instead of XLA's 4 separate 4D
+    gather/scatter pairs — the texel scatter is a hot spot of the
+    rasterizer backward on TPU)."""
+    corners = maps_flat[ids]          # (..., 4, 3)
+    return jnp.sum(corners * w[..., None], axis=-2)
+
+
+def _sample_flat_fwd(maps_flat, ids, w):
+    return _sample_flat(maps_flat, ids, w), (ids, w, maps_flat.shape[0])
+
+
+def _sample_flat_bwd(res, g):
+    ids, w, n = res
+    upd = (w[..., None] * g[..., None, :]).reshape(-1, g.shape[-1])
+    d_maps = jnp.zeros((n, g.shape[-1]), g.dtype).at[ids.reshape(-1)].add(upd)
+    # w is treated as non-differentiable here: uv gradients are only needed
+    # when detach_bary is False; that path uses sample_atlas_bilinear_diff.
+    return d_maps, None, None
+
+
+_sample_flat.defvjp(_sample_flat_fwd, _sample_flat_bwd)
+
+
+def sample_atlas_bilinear(maps, map_idx, uv, diff_uv=False):
+    """Bilinear texture lookup with align_corners=True.
+
+    maps: (M, TH, TW, 3); map_idx: (...,) i32; uv: (..., 2) in [0, 1] with
+    v==0 at the BOTTOM of the image (pytorch3d TexturesUV convention:
+    texture row 0 is v==1). Returns (..., 3).
+
+    diff_uv=False (default): gradients flow to `maps` only (one fused
+    gather/scatter pair). diff_uv=True: fully differentiable in uv as well
+    (used when detach_bary is off, e.g. the env pass where ground pose
+    learns through texture sampling)."""
+    M, TH, TW = maps.shape[0], maps.shape[1], maps.shape[2]
+    ids, w = _bilinear_corners(map_idx, uv, TH, TW)
+    maps_flat = maps.reshape(M * TH * TW, maps.shape[-1])
+    if diff_uv:
+        corners = maps_flat[ids]
+        return jnp.sum(corners * w[..., None], axis=-2)
+    return _sample_flat(maps_flat, ids, jax.lax.stop_gradient(w))

@@ -160,7 +160,11 @@ class Renderer:
         frags = Fragments(p2f, bary, fz[..., 0], d2, valid)
 
         uv = jnp.sum(bary[..., None] * uvv, axis=-2)
-        colors = sample_atlas_bilinear(scene.atlas.maps, mi, uv)
+        # uv gradients matter only when bary is NOT detached (e.g. the env
+        # pass, where the ground pose learns through texture sampling)
+        colors = sample_atlas_bilinear(
+            scene.atlas.maps, mi, uv, diff_uv=not cfg.detach_bary
+        )
         if cfg.ambient_color is not None:
             colors = colors * jnp.asarray(cfg.ambient_color)
         alpha = fragment_alpha(frags, sigma, clip_inside=cfg.clip_inside)

@@ -24,7 +24,7 @@ def sample_texture_colors(fragments: Fragments, scene: MeshScene):
     uv = interpolate_face_attrs(fragments, uv_face_verts)  # (H, W, K, 2)
     idx = jnp.maximum(fragments.pix_to_face, 0)
     map_idx = scene.map_idx[idx]
-    return sample_atlas_bilinear(scene.atlas.maps, map_idx, uv)
+    return sample_atlas_bilinear(scene.atlas.maps, map_idx, uv, diff_uv=True)
 
 
 def shade_raw(fragments: Fragments, scene: MeshScene, ambient_color=None):

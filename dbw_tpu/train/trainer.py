@@ -415,6 +415,12 @@ class Trainer:
                 verts, faces, scan_id, DATASETS_PATH / "DTU", self.run_dir,
                 save_viz=False,
             )
+        try:
+            from ..utils.html import gallery_from_run_dir
+
+            gallery_from_run_dir(self.run_dir / "quali_eval")
+        except Exception as e:
+            print_warning(f"gallery generation failed: {e}")
         print_log("Evaluation over")
 
 
