@@ -1,0 +1,136 @@
+"""Dataset loaders + official DTU eval on a synthetic on-disk scan."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from dbw_tpu.data.base import Loader, MultiViewDataset
+from dbw_tpu.data.dtu import load_dtu
+from dbw_tpu.data.bmvs import load_bmvs
+from dbw_tpu.utils.obj_io import save_ply
+from dbw_tpu.ops.icosphere import icosphere
+
+
+def make_fake_idr_scan(root, name, tag, n_views=4, hw=(24, 32),
+                       with_points=True):
+    """Minimal IDR-layout scan: image/ + cameras.npz (+ DTU Points)."""
+    scan = root / name / tag
+    (scan / "image").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    H, W = hw
+    cams = {}
+    for i in range(n_views):
+        img = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(scan / "image" / f"{i:06d}.png")
+        K = np.array(
+            [[400.0, 0, W * 18], [0, 400.0, H * 18], [0, 0, 1.0]]
+        )  # raw-size intrinsics (loaders assume raw 1200x1600 / 576x768)
+        angle = i * 0.3
+        R = np.array(
+            [
+                [np.cos(angle), 0, np.sin(angle)],
+                [0, 1, 0],
+                [-np.sin(angle), 0, np.cos(angle)],
+            ]
+        )
+        t = np.array([0.1 * i, 0.0, 3.0])
+        P = K @ np.concatenate([R, t[:, None]], 1)
+        world_mat = np.eye(4)
+        world_mat[:3, :4] = P
+        cams[f"world_mat_{i}"] = world_mat
+        cams[f"scale_mat_{i}"] = np.eye(4)
+    np.savez(scan / "cameras.npz", **cams)
+    if with_points:
+        pts_dir = root / name / "Points" / "stl"
+        pts_dir.mkdir(parents=True, exist_ok=True)
+        num = tag.replace("scan", "").zfill(3)
+        pts = rng.random((500, 3)).astype(np.float32)
+        save_ply(pts_dir / f"stl{num}_total.ply", pts)
+    return scan
+
+
+class TestDTULoader:
+    def test_load(self, tmp_path):
+        make_fake_idr_scan(tmp_path, "DTU", "scan1")
+        ds = load_dtu("train", (24, 32), "scan1", root=tmp_path / "DTU")
+        assert len(ds) == 4
+        assert ds.imgs.shape == (4, 24, 32, 3)
+        assert ds.K.shape == (4, 4, 4)
+        assert ds.R.shape == (4, 3, 3)
+        assert np.isfinite(ds.pc_gt).all() and len(ds.pc_gt) == 500
+        # rotations orthonormal
+        eye = np.einsum("nij,nkj->nik", ds.R, ds.R)
+        np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), (4, 3, 3)),
+                                   atol=1e-4)
+
+    def test_split_shuffle_deterministic(self, tmp_path):
+        make_fake_idr_scan(tmp_path, "DTU", "scan1")
+        d1 = load_dtu("val", (24, 32), "scan1", root=tmp_path / "DTU")
+        d2 = load_dtu("val", (24, 32), "scan1", root=tmp_path / "DTU")
+        np.testing.assert_array_equal(d1.imgs, d2.imgs)
+
+    def test_loader_batching(self, tmp_path):
+        make_fake_idr_scan(tmp_path, "DTU", "scan1")
+        ds = load_dtu("train", (24, 32), "scan1", root=tmp_path / "DTU")
+        loader = Loader(ds, batch_size=3, shuffle=True, seed=0)
+        batches = list(loader)
+        assert len(batches) == 2
+        assert batches[0][0]["imgs"].shape[0] == 3
+        assert batches[1][0]["imgs"].shape[0] == 1
+
+
+class TestBMVSLoader:
+    def test_load_and_split_caps(self, tmp_path):
+        make_fake_idr_scan(tmp_path, "BlendedMVS", "scan2", n_views=12,
+                           with_points=False)
+        tr = load_bmvs("train", (24, 32), "scan2", root=tmp_path / "BlendedMVS")
+        va = load_bmvs("val", (24, 32), "scan2", root=tmp_path / "BlendedMVS")
+        te = load_bmvs("test", (24, 32), "scan2", root=tmp_path / "BlendedMVS")
+        assert len(tr) == 12 and len(va) == 5 and len(te) == 10
+        assert (va.pc_gt == 0).all()  # no GT cloud
+
+
+class TestDTUOfficialEval:
+    def test_protocol_end_to_end(self, tmp_path):
+        """Run evaluate_mesh on a synthetic mesh whose surface IS the GT
+        cloud -> chamfer must be near zero; a shifted mesh must be worse."""
+        from scipy.io import savemat
+
+        from dbw_tpu.eval.dtu_eval import evaluate_mesh
+        from dbw_tpu.eval.metrics import sample_points_from_mesh
+
+        scan_id = 7
+        root = tmp_path / "DTU"
+        (root / "ObsMask").mkdir(parents=True)
+        (root / "Points" / "stl").mkdir(parents=True)
+
+        v, f = icosphere(2)
+        v = v * 20.0  # DTU scale is mm
+        gt = sample_points_from_mesh(v, f, 30000)
+        save_ply(root / "Points" / "stl" / f"stl{scan_id:03}_total.ply", gt)
+
+        # ObsMask grid covering everything; Res 1mm
+        bb = np.array([[-30.0, -30.0, -30.0], [30.0, 30.0, 30.0]])
+        shape = (60, 60, 60)
+        savemat(
+            root / "ObsMask" / f"ObsMask{scan_id}_10.mat",
+            {"ObsMask": np.ones(shape, np.uint8), "BB": bb, "Res": np.array([[1.0]])},
+        )
+        # ground plane far below -> keeps all GT points
+        savemat(
+            root / "ObsMask" / f"Plane{scan_id}.mat",
+            {"P": np.array([[0.0], [0.0], [1.0], [100.0]])},
+        )
+
+        out = tmp_path / "out"
+        out.mkdir()
+        res = evaluate_mesh(v, f, scan_id, root, out, save_viz=True)
+        assert res["avg"] < 0.5
+        assert (out / "dtu_scores.tsv").exists()
+        assert (out / f"vis_{scan_id:03}_d2s.ply").exists()
+
+        res_shift = evaluate_mesh(
+            v + np.array([5.0, 0, 0]), f, scan_id, root, out, suffix="_s",
+            save_viz=False,
+        )
+        assert res_shift["avg"] > res["avg"] + 1.0
