@@ -119,11 +119,12 @@ def _sample_flat_fwd(maps_flat, ids, w):
 
 
 def _sample_flat_bwd(res, g):
+    from ..ops.scatter import sorted_segment_sum
+
     ids, w, n = res
     C = g.shape[-1]
     upd = (w[..., None] * g[..., None, :]).reshape(-1, C)
-    flat_ids = ids.reshape(-1)
-    d_maps = jnp.zeros((n, C), g.dtype).at[flat_ids].add(upd)
+    d_maps = sorted_segment_sum(ids.reshape(-1), upd, n)
     # w is treated as non-differentiable here: uv gradients are only needed
     # when detach_bary is False; that path uses diff_uv=True instead.
     return d_maps, None, None

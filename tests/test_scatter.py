@@ -5,7 +5,26 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from dbw_tpu.ops.scatter import gather_rows, one_hot_scatter_add
+from dbw_tpu.ops.scatter import gather_rows, one_hot_scatter_add, sorted_segment_sum
+
+
+def test_sorted_segment_sum_matches_at_add():
+    rng = np.random.default_rng(3)
+    for n_rows, n in [(50, 4000), (1000, 1), (7, 7)]:
+        ids = jnp.asarray(rng.integers(0, n_rows, n), jnp.int32)
+        upd = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
+        out = sorted_segment_sum(ids, upd, n_rows)
+        ref = jnp.zeros((n_rows, 3)).at[ids].add(upd)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sorted_segment_sum_empty_rows_zero():
+    ids = jnp.asarray([2, 2, 5], jnp.int32)
+    upd = jnp.ones((3, 2))
+    out = sorted_segment_sum(ids, upd, 8)
+    np.testing.assert_allclose(np.asarray(out)[[0, 1, 3, 4, 6, 7]], 0.0)
+    np.testing.assert_allclose(np.asarray(out)[2], 2.0)
+    np.testing.assert_allclose(np.asarray(out)[5], 1.0)
 
 
 def test_one_hot_scatter_matches_at_add():
