@@ -574,6 +574,18 @@ class BlocksWorld:
         blocks, _ = self.build_blocks(params, phase, synthetic=True)
         return self.renderer_light.render(blocks, R, T)[..., :3]
 
+    def sample_points_from_blocks(self, params, key=None, n_points=500):
+        """Random surface samples of the posed blocks in model coordinates
+        (reference dbw.py:354-359)."""
+        from ..ops.superquadric import sample_sq
+
+        key = key if key is not None else jax.random.PRNGKey(0)
+        eps1, eps2 = self.block_sq_eps(params)
+        S = jnp.exp(params.S) + self.scale_min
+        R = rotation_6d_to_matrix(params.R_6d)
+        pts = sample_sq(key, eps1, eps2, S * self.ratio_block_scene, n_points)
+        return pts @ R + params.T[:, None]
+
     # ------------------------------------------------------------------
     # losses
     # ------------------------------------------------------------------
@@ -682,6 +694,22 @@ class BlocksWorld:
             [np.zeros((nfe, 3)), np.repeat(colors, self.BNF, axis=0)], axis=0
         )
         return jnp.asarray(face_vals, jnp.float32)
+
+    def quantitative_eval(self, params, loader, hard_inference=True):
+        """PSNR/SSIM/LPIPS + block stats on a loader (reference
+        dbw.py:465-493); delegates to eval.quant."""
+        from ..eval.quant import quantitative_eval
+
+        return quantitative_eval(self, params, loader, hard_inference)
+
+    def qualitative_eval(self, params, loader, path=None, NV=240):
+        """Texture/mesh/render/video artifacts (reference dbw.py:495-554);
+        delegates to eval.quali."""
+        from pathlib import Path
+
+        from ..eval.quali import qualitative_eval
+
+        return qualitative_eval(self, params, loader, path or Path("."), NV=NV)
 
     def get_arranged_block_txt(self, params, ncol=5):
         """Texture grid image for logging (reference dbw.py:433-438)."""
