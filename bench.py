@@ -10,10 +10,18 @@ Usage: python bench.py [--steps N] [--backend xla|pallas]
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent compile cache: first-compile of the full step graph is minutes
+# on this hardware; subsequent runs (including the driver's) hit the cache.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
 
 
 REFERENCE_STEPS_PER_SEC = 1.0 / 0.65  # BASELINE.md derived: ~0.65 s/step
