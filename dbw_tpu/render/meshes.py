@@ -79,7 +79,9 @@ def face_normals(verts, faces):
 def _bilinear_corners(map_idx, uv, TH, TW):
     """Flattened texel ids + weights of the 4 bilinear corners.
 
-    Returns (ids (..., 4) int32 into (M*TH*TW), weights (..., 4))."""
+    Returns (ids: tuple of 4 (...,) int32 into (M*TH*TW), weights: tuple of
+    4 (...,) f32) — kept as separate arrays, NOT stacked, to avoid
+    tiny-trailing-dim tile padding on TPU."""
     u = jnp.clip(uv[..., 0], 0.0, 1.0) * (TW - 1)
     v = (1.0 - jnp.clip(uv[..., 1], 0.0, 1.0)) * (TH - 1)
     x0 = jnp.floor(u)
@@ -91,27 +93,27 @@ def _bilinear_corners(map_idx, uv, TH, TW):
     x1 = jnp.minimum(x0 + 1, TW - 1)
     y1 = jnp.minimum(y0 + 1, TH - 1)
     base = map_idx * (TH * TW)
-    ids = jnp.stack(
-        [
-            base + y0 * TW + x0, base + y0 * TW + x1,
-            base + y1 * TW + x0, base + y1 * TW + x1,
-        ],
-        axis=-1,
+    ids = (
+        base + y0 * TW + x0, base + y0 * TW + x1,
+        base + y1 * TW + x0, base + y1 * TW + x1,
     )
-    w = jnp.stack(
-        [(1 - wx) * (1 - wy), wx * (1 - wy), (1 - wx) * wy, wx * wy], axis=-1
-    )
+    w = ((1 - wx) * (1 - wy), wx * (1 - wy), (1 - wx) * wy, wx * wy)
     return ids, w
 
 
 @jax.custom_vjp
 def _sample_flat(maps_flat, ids, w):
-    """maps_flat: (M*TH*TW, 3); ids/w: (..., 4). One gather forward; the
-    backward scatter-add runs in the measured-fastest layout (3D target,
-    see bench calibration: a (M, TH*TW, C)-shaped scatter beats the fully
-    flattened form on TPU)."""
-    corners = maps_flat[ids]          # (..., 4, 3)
-    return jnp.sum(corners * w[..., None], axis=-2)
+    """maps_flat: (M*TH*TW, C); ids/w: tuples of 4 per-corner (...,) arrays.
+
+    TPU layout note: corners are processed one at a time — materializing a
+    (..., 4, C) tensor gives XLA a rank-6 array with two tiny trailing dims
+    whose (8, 128) tile padding explodes HBM (measured 51x expansion -> OOM
+    on the DTU workload). Per-corner (..., C) tensors stay in sane layouts.
+    """
+    out = 0.0
+    for k in range(4):
+        out = out + maps_flat[ids[k]] * w[k][..., None]
+    return out
 
 
 def _sample_flat_fwd(maps_flat, ids, w):
@@ -123,8 +125,10 @@ def _sample_flat_bwd(res, g):
 
     ids, w, n = res
     C = g.shape[-1]
-    upd = (w[..., None] * g[..., None, :]).reshape(-1, C)
-    d_maps = sorted_segment_sum(ids.reshape(-1), upd, n)
+    d_maps = 0.0
+    for k in range(4):
+        upd = (w[k][..., None] * g).reshape(-1, C)
+        d_maps = d_maps + sorted_segment_sum(ids[k].reshape(-1), upd, n)
     # w is treated as non-differentiable here: uv gradients are only needed
     # when detach_bary is False; that path uses diff_uv=True instead.
     return d_maps, None, None
@@ -148,6 +152,9 @@ def sample_atlas_bilinear(maps, map_idx, uv, diff_uv=False):
     ids, w = _bilinear_corners(map_idx, uv, TH, TW)
     maps_flat = maps.reshape(M * TH * TW, maps.shape[-1])
     if diff_uv:
-        corners = maps_flat[ids]
-        return jnp.sum(corners * w[..., None], axis=-2)
-    return _sample_flat(maps_flat, ids, jax.lax.stop_gradient(w))
+        out = 0.0
+        for k in range(4):
+            out = out + maps_flat[ids[k]] * w[k][..., None]
+        return out
+    w_sg = tuple(jax.lax.stop_gradient(wk) for wk in w)
+    return _sample_flat(maps_flat, ids, w_sg)

@@ -102,29 +102,37 @@ class Renderer:
         return img
 
     def _shade_fused(self, scene: MeshScene, geom, p2f, sigma):
-        """TPU-optimized raw-shading path: all per-face attributes packed
-        into two tables so each fragment does ONE dynamic gather with an
-        MXU-matmul backward (ops/scatter.py) plus one gradient-free static
-        gather — instead of 4-5 separate gathers whose backward scatters
-        dominated the step (see bench ablation in BENCH notes)."""
+        """TPU-optimized raw-shading path.
+
+        Design rules (learned the hard way — see BENCH_NOTES.md):
+        - per-face attributes pack into one gradient-carrying table (single
+          dynamic gather with an MXU-matmul backward, ops/scatter.py) and
+          one gradient-free static table,
+        - every per-fragment quantity lives in FLAT 1-D (N,) / 2-D (N, C)
+          arrays with component-wise math (like the Pallas kernel) — rank>3
+          tensors with tiny trailing dims invite (8, 128) tile padding that
+          blows HBM by 10-50x,
+        - texture sampling processes bilinear corners one at a time with a
+          sort-based segment-sum backward."""
         import jax.numpy as jnp
 
         from ..ops.scatter import gather_rows
-        from .cameras import ndc_pixel_centers
-        from .interpolate import Fragments
         from .meshes import sample_atlas_bilinear
-        from .rasterize import interp_z, signed_edge_dist2
 
         cfg = self.config
         rcfg = cfg.raster_config()
+        Hs, Ws = rcfg.image_size
+        K = rcfg.faces_per_pixel
         F = scene.faces.shape[0]
+        N = Hs * Ws * K
+
         # dynamic table (gradient-carrying): xy (6), z (3), face alpha (1)
         dyn = jnp.concatenate(
             [
                 geom.xy.reshape(F, 6),
                 geom.z,
                 scene.faces_alpha[:, None],
-                jnp.zeros((F, 2), geom.xy.dtype),  # pad to 12 columns
+                jnp.zeros((F, 2), geom.xy.dtype),
             ],
             axis=1,
         )
@@ -139,37 +147,101 @@ class Renderer:
                 axis=1,
             )
         )
-        tab = gather_rows(dyn, p2f)          # (H, W, K, 12)
-        stab = stat[jnp.maximum(p2f, 0)]     # (H, W, K, 8), constant
+        p2f_flat = p2f.reshape(N)
+        tab = gather_rows(dyn, p2f_flat)                 # (N, 12)
+        stab = stat[jnp.maximum(p2f_flat, 0)]            # (N, 8), constant
 
-        shp = p2f.shape
-        xy = tab[..., :6].reshape(shp + (3, 2))
-        fz = tab[..., 6:9]
-        face_alpha = tab[..., 9]
-        uvv = stab[..., :6].reshape(shp + (3, 2))
-        mi = stab[..., 6].astype(jnp.int32)
+        x0, y0 = tab[:, 0], tab[:, 1]
+        x1, y1 = tab[:, 2], tab[:, 3]
+        x2, y2 = tab[:, 4], tab[:, 5]
+        z0, z1, z2 = tab[:, 6], tab[:, 7], tab[:, 8]
+        face_alpha = tab[:, 9]
+        u0, v0u = stab[:, 0], stab[:, 1]
+        u1, v1u = stab[:, 2], stab[:, 3]
+        u2, v2u = stab[:, 4], stab[:, 5]
+        mi = stab[:, 6].astype(jnp.int32)
 
-        gx, gy = ndc_pixel_centers(rcfg.image_size)
-        d2, _, bary2d = signed_edge_dist2(gx[..., None], gy[..., None], xy)
-        bary, _ = interp_z(
-            bary2d, fz, rcfg.perspective_correct, rcfg.clip_barycentric
+        # pixel NDC centers per fragment (pure index math, no gathers)
+        n_idx = jnp.arange(N, dtype=jnp.int32)
+        pix = n_idx // K
+        row = pix // Ws
+        col = pix % Ws
+        s = min(Hs, Ws)
+        px = (Ws - 1.0 - 2.0 * col.astype(jnp.float32)) / s
+        py = (Hs - 1.0 - 2.0 * row.astype(jnp.float32)) / s
+
+        # 2D barycentrics + signed squared edge distance (component math,
+        # identical numerics to rasterize.signed_edge_dist2)
+        area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+        inv_area = jnp.where(
+            jnp.abs(area) > 1e-12, 1.0 / jnp.where(area == 0.0, 1.0, area), 0.0
         )
-        if cfg.detach_bary:
-            bary = jax.lax.stop_gradient(bary)
-        valid = p2f >= 0
-        frags = Fragments(p2f, bary, fz[..., 0], d2, valid)
+        w0 = ((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)) * inv_area
+        w1 = ((x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)) * inv_area
+        w2 = ((x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)) * inv_area
+        inside = jnp.minimum(jnp.minimum(w0, w1), w2) >= 0.0
 
-        uv = jnp.sum(bary[..., None] * uvv, axis=-2)
-        # uv gradients matter only when bary is NOT detached (e.g. the env
-        # pass, where the ground pose learns through texture sampling)
+        def seg_d2(ax, ay, bx, by):
+            abx, aby = bx - ax, by - ay
+            apx, apy = px - ax, py - ay
+            denom = jnp.maximum(abx * abx + aby * aby, 1e-12)
+            t = jnp.clip((apx * abx + apy * aby) / denom, 0.0, 1.0)
+            dx = apx - t * abx
+            dy = apy - t * aby
+            return dx * dx + dy * dy
+
+        d2 = jnp.minimum(
+            jnp.minimum(seg_d2(x0, y0, x1, y1), seg_d2(x1, y1, x2, y2)),
+            seg_d2(x2, y2, x0, y0),
+        )
+        dists = jnp.where(inside, -d2, d2)
+
+        # perspective-correct, clipped barycentrics
+        if rcfg.perspective_correct:
+            iw0 = w0 / jnp.maximum(z0, 1e-8)
+            iw1 = w1 / jnp.maximum(z1, 1e-8)
+            iw2 = w2 / jnp.maximum(z2, 1e-8)
+            denom = iw0 + iw1 + iw2
+            denom = jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+            b0, b1, b2 = iw0 / denom, iw1 / denom, iw2 / denom
+        else:
+            b0, b1, b2 = w0, w1, w2
+        if rcfg.clip_barycentric:
+            b0 = jnp.clip(b0, 0.0, 1.0)
+            b1 = jnp.clip(b1, 0.0, 1.0)
+            b2 = jnp.clip(b2, 0.0, 1.0)
+            bs = jnp.maximum(b0 + b1 + b2, 1e-6)
+            b0, b1, b2 = b0 / bs, b1 / bs, b2 / bs
+        if cfg.detach_bary:
+            b0 = jax.lax.stop_gradient(b0)
+            b1 = jax.lax.stop_gradient(b1)
+            b2 = jax.lax.stop_gradient(b2)
+
+        uv = jnp.stack(
+            [b0 * u0 + b1 * u1 + b2 * u2, b0 * v0u + b1 * v1u + b2 * v2u],
+            axis=-1,
+        )  # (N, 2)
         colors = sample_atlas_bilinear(
             scene.atlas.maps, mi, uv, diff_uv=not cfg.detach_bary
-        )
+        )  # (N, 3)
         if cfg.ambient_color is not None:
             colors = colors * jnp.asarray(cfg.ambient_color)
-        alpha = fragment_alpha(frags, sigma, clip_inside=cfg.clip_inside)
-        alpha = alpha * face_alpha
-        img = layered_blend(colors, alpha, cfg.background_color)
+
+        # coverage alpha (reference renderer.py:252-257 semantics)
+        valid = (p2f_flat >= 0).astype(jnp.float32)
+        if cfg.clip_inside:
+            soft_a = jnp.exp(
+                -jnp.clip(dists, 0.0, None) / jnp.maximum(sigma, 1e-20)
+            )
+        else:
+            soft_a = jax.nn.sigmoid(-dists / jnp.maximum(sigma, 1e-20))
+        hard_a = (dists <= 0.0).astype(jnp.float32)
+        alpha = jnp.where(sigma == 0.0, hard_a, soft_a) * valid * face_alpha
+
+        img = layered_blend(
+            colors.reshape(Hs, Ws, K, 3), alpha.reshape(Hs, Ws, K),
+            cfg.background_color,
+        )
         if cfg.supersample > 1:
             img = _avg_pool_2d(img, cfg.supersample)
         return img

@@ -1,0 +1,71 @@
+"""Edge overlays, blend properties, uniform superquadric sampling."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dbw_tpu.ops.superquadric import implicit_sq, sample_uniform_sq
+from dbw_tpu.render.blend import layered_blend
+from dbw_tpu.render.renderer import Renderer, RendererConfig
+from tests.test_render import EYE, ZERO, fov_cam, tri_scene
+
+
+class TestBlendProperties:
+    def test_front_to_back_order_matters(self):
+        c = jnp.asarray([[[[1.0, 0, 0], [0, 1.0, 0]]]])  # (1,1,2,3)
+        a_front_opaque = jnp.asarray([[[1.0, 1.0]]])
+        img = layered_blend(c, a_front_opaque, (0, 0, 0))
+        np.testing.assert_allclose(img[0, 0, :3], [1, 0, 0], atol=1e-6)
+
+    def test_transmittance(self):
+        c = jnp.ones((1, 1, 3, 3))
+        a = jnp.asarray([[[0.5, 0.5, 0.5]]])
+        img = layered_blend(c, a, (0, 0, 0))
+        # alpha channel = 1 - 0.5^3
+        assert float(img[0, 0, 3]) == pytest.approx(1 - 0.125, rel=1e-5)
+
+    def test_background_fills_empty(self):
+        c = jnp.zeros((1, 1, 2, 3))
+        a = jnp.zeros((1, 1, 2))
+        img = layered_blend(c, a, (0.2, 0.4, 0.6))
+        np.testing.assert_allclose(img[0, 0, :3], [0.2, 0.4, 0.6], atol=1e-6)
+        assert float(img[0, 0, 3]) == 0.0
+
+
+class TestEdges:
+    def test_draw_edges_marks_boundary(self):
+        cfg = RendererConfig(image_size=(32, 32), faces_per_pixel=1, sigma=0.0,
+                             supersample=2)
+        rend = Renderer(cfg, fov_cam())
+        scene = tri_scene([[0.0, 0.8, 2.0], [-0.8, -0.8, 2.0], [0.8, -0.8, 2.0]])
+        base = jnp.zeros((32, 32, 3))
+        out = np.asarray(
+            rend.draw_edges_view(base, scene, EYE, ZERO, (0.0, 1.0, 0.0),
+                                 linewidth=1.0)
+        )
+        assert out[..., 1].max() > 0.5  # green edge pixels exist
+        assert (out[..., 1] > 0.1).sum() < 32 * 32 * 0.5  # but sparse
+
+    def test_render_edges_pix2face(self):
+        cfg = RendererConfig(image_size=(16, 16), faces_per_pixel=1, sigma=0.0)
+        rend = Renderer(cfg, fov_cam())
+        scene = tri_scene([[0.0, 1.0, 2.0], [-1.0, -1.0, 2.0], [1.0, -1.0, 2.0]])
+        mask, p2f = rend.render_edges_view(scene, EYE, ZERO)
+        assert mask.shape == (16, 16)
+        assert int(np.asarray(p2f).max()) == 0
+
+
+class TestUniformSQ:
+    def test_samples_near_surface(self):
+        pts = sample_uniform_sq(
+            np.array([0.5, 1.0]), np.array([1.0, 1.5]),
+            np.array([[1.0, 1.0, 1.0], [1.0, 0.8, 1.2]]), n_points=300,
+        )
+        assert pts.shape == (2, 300, 3)
+        # samples use (x, y, z) with z the eps1 axis -> permute to implicit's
+        # y-up convention
+        p = jnp.asarray(pts[0][:, [0, 2, 1]])
+        f = implicit_sq(p, 0.5, 1.0)
+        assert float(jnp.abs(f).mean()) < 0.25
