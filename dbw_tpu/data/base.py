@@ -9,7 +9,7 @@ semantics (drop_last=False, shuffle for train only)."""
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import numpy as np
 from PIL import Image

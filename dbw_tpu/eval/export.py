@@ -11,8 +11,6 @@ from __future__ import annotations
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
 
 from ..utils.obj_io import save_obj
 

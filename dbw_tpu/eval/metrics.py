@@ -9,7 +9,7 @@ from pathlib import Path
 import numpy as np
 
 from ..losses.chamfer import chamfer_distance
-from ..utils.logger import print_log
+
 
 EPS = 1e-7
 CHAMFER_FACTOR = 10  # standard reporting factor (OccNet/DVR convention)
@@ -169,7 +169,6 @@ class MeshEvaluator:
         rounds = [(pc_pred, norm_pred, "")]
         if self.run_icp:
             from .icp import gradient_icp
-            from ..render.meshes import face_normals  # noqa: F401 (doc)
 
             # normalize pred into the unit cube for better ICP (reference
             # metrics.py:155)

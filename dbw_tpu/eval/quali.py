@@ -12,7 +12,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.dbw import Phase
-from ..ops.rotations import look_at_rotation
 from ..render.trajectory import get_circle_traj
 from ..utils.image import convert_to_img, save_video
 from ..utils.misc import path_mkdir, use_seed

@@ -1,6 +1,5 @@
 """Pixel losses and TV norms (reference: src/model/loss.py:28-54)."""
 
-import jax
 import jax.numpy as jnp
 
 from ..ops.safe_math import safe_pow

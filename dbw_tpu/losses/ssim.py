@@ -4,7 +4,6 @@ Implemented with depthwise ``lax.conv_general_dilated`` (maps straight onto
 the TPU convolution units). Images are (B, H, W, C) in [0, 1]; returns the
 per-image DISSIMILARITY 1 - SSIM like the reference's forward."""
 
-import math
 from functools import partial
 
 import jax

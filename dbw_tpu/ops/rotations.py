@@ -9,7 +9,6 @@ Convention: matrices act on ROW vectors, ``x' = x @ R`` — same as the
 reference's use sites (e.g. src/model/dbw.py:264,285,311).
 """
 
-import math
 
 import jax
 import jax.numpy as jnp

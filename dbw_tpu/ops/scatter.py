@@ -18,11 +18,9 @@ iota comparison (VPU) and contracts it on the MXU, accumulating (F, C).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def one_hot_scatter_add(idx, updates, n_rows, tile=65536, precision=None):

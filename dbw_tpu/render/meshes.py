@@ -10,11 +10,10 @@ by shape changes.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 class TextureAtlas(NamedTuple):

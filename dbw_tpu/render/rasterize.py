@@ -24,7 +24,6 @@ polygon clipping).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax

@@ -9,7 +9,6 @@ Batched rendering is ``vmap`` over (R, T).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import time
 from functools import partial
-from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +23,7 @@ from ..train.checkpoint import save_checkpoint
 from ..train.optimizer import create_optimizer
 from ..train.scheduler import create_scheduler
 from ..utils.logger import print_log
-from ..utils.misc import path_mkdir, use_seed
+from ..utils.misc import path_mkdir
 from ..parallel.seeds import stack_params, unstack_params
 
 

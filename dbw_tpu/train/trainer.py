@@ -23,13 +23,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import create_train_val_test_loader
-from ..eval.metrics import AverageMeter, Metrics
-from ..losses import get_loss
-from ..losses.basic import mse2psnr
+from ..eval.metrics import Metrics
 from ..models import create_model
-from ..models.dbw import Phase
+
 from ..utils.config import dump_yaml, load_yaml
-from ..utils.image import ImageLogger, convert_to_img
+from ..utils.image import ImageLogger
 from ..utils.logger import create_logger, print_log, print_warning
 from ..utils.misc import path_exists, path_mkdir, use_seed
 from ..utils.path import CONFIGS_PATH, DATASETS_PATH, RUNS_PATH

@@ -8,7 +8,6 @@ vertex-colored OBJ/PLY.
 
 from __future__ import annotations
 
-import struct
 from pathlib import Path
 
 import numpy as np
