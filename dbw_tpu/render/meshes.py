@@ -124,10 +124,14 @@ def _sample_flat_bwd(res, g):
 
     ids, w, n = res
     C = g.shape[-1]
-    d_maps = 0.0
-    for k in range(4):
-        upd = (w[k][..., None] * g).reshape(-1, C)
-        d_maps = d_maps + sorted_segment_sum(ids[k].reshape(-1), upd, n)
+    # one concatenated segment-sum over all 4 corners (flat 1-D/2-D concats
+    # keep layouts sane, and a single sort pipeline compiles/runs faster
+    # than four)
+    all_ids = jnp.concatenate([i.reshape(-1) for i in ids])
+    all_upd = jnp.concatenate(
+        [(w[k][..., None] * g).reshape(-1, C) for k in range(4)]
+    )
+    d_maps = sorted_segment_sum(all_ids, all_upd, n)
     # w is treated as non-differentiable here: uv gradients are only needed
     # when detach_bary is False; that path uses diff_uv=True instead.
     return d_maps, None, None
