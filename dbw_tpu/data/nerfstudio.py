@@ -76,6 +76,13 @@ def load_nerfstudio(split, img_size=None, tag="", downscale_factor=1,
 
     pc_path = base / "point_cloud.ply"
     pc = load_ply(pc_path) if pc_path.exists() else None
+    if not frames:  # empty split (reference's val, nerfstudio.py:88-89)
+        H2, W2 = out_hw
+        return MultiViewDataset(
+            np.zeros((0, H2, W2, 3), np.float32), np.zeros((0, 4, 4), np.float32),
+            np.zeros((0, 3, 3), np.float32), np.zeros((0, 3), np.float32),
+            pc_gt=pc, tag=tag, name="nerfstudio",
+        )
     return MultiViewDataset(
         np.stack(imgs), np.stack(K_list), np.stack(R_list), np.stack(T_list),
         pc_gt=pc, tag=tag, name="nerfstudio",

@@ -134,3 +134,48 @@ class TestDTUOfficialEval:
             save_viz=False,
         )
         assert res_shift["avg"] > res["avg"] + 1.0
+
+
+class TestNerfstudioLoader:
+    def test_load_transforms_json(self, tmp_path):
+        import json
+
+        from dbw_tpu.data.nerfstudio import load_nerfstudio
+
+        base = tmp_path / "ns" / "scene"
+        (base / "images").mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        H, W = 32, 48
+        frames = []
+        for i in range(3):
+            name = f"images/frame_{i:05d}.png"
+            Image.fromarray(
+                (rng.random((H, W, 3)) * 255).astype(np.uint8)
+            ).save(base / name)
+            angle = 0.4 * i
+            c2w = np.eye(4)
+            c2w[:3, :3] = np.array(
+                [
+                    [np.cos(angle), 0, np.sin(angle)],
+                    [0, 1, 0],
+                    [-np.sin(angle), 0, np.cos(angle)],
+                ]
+            )
+            c2w[:3, 3] = [0.1 * i, 0.0, 2.0]
+            frames.append({"file_path": name, "transform_matrix": c2w.tolist()})
+        meta = {
+            "fl_x": 40.0, "fl_y": 41.0, "cx": W / 2, "cy": H / 2,
+            "w": W, "h": H, "frames": frames,
+        }
+        (base / "transforms.json").write_text(json.dumps(meta))
+
+        ds = load_nerfstudio("train", (H, W), "scene", root=tmp_path / "ns")
+        assert len(ds) == 3
+        assert ds.imgs.shape == (3, H, W, 3)
+        eye = np.einsum("nij,nkj->nik", ds.R, ds.R)
+        np.testing.assert_allclose(
+            eye, np.broadcast_to(np.eye(3), (3, 3, 3)), atol=1e-5
+        )
+        # val split empty (reference nerfstudio.py:88-89)
+        dval = load_nerfstudio("val", (H, W), "scene", root=tmp_path / "ns")
+        assert len(dval) == 0
