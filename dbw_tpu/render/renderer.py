@@ -200,8 +200,7 @@ class Renderer:
             iw0 = w0 / jnp.maximum(z0, 1e-8)
             iw1 = w1 / jnp.maximum(z1, 1e-8)
             iw2 = w2 / jnp.maximum(z2, 1e-8)
-            denom = iw0 + iw1 + iw2
-            denom = jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+            denom = jnp.maximum(iw0 + iw1 + iw2, 1e-12)
             b0, b1, b2 = iw0 / denom, iw1 / denom, iw2 / denom
         else:
             b0, b1, b2 = w0, w1, w2

@@ -69,3 +69,54 @@ class TestUniformSQ:
         p = jnp.asarray(pts[0][:, [0, 2, 1]])
         f = implicit_sq(p, 0.5, 1.0)
         assert float(jnp.abs(f).mean()) < 0.25
+
+
+class TestFusedPathEquivalence:
+    """The fused flat-layout shading path must match the modular
+    interpolate/shade/blend composition exactly."""
+
+    def test_fused_matches_modular(self):
+        from dbw_tpu.render.blend import fragment_alpha, layered_blend
+        from dbw_tpu.render.interpolate import interpolate_fragments
+        from dbw_tpu.render.rasterize import project_faces, rasterize
+        from dbw_tpu.render.shading import shade_raw
+
+        rng = np.random.default_rng(5)
+        n_tris = 30
+        centers = rng.uniform(-0.8, 0.8, (n_tris, 1, 3))
+        centers[..., 2] = rng.uniform(1.5, 3.0, (n_tris, 1))
+        verts = jnp.asarray(
+            (centers + rng.uniform(-0.3, 0.3, (n_tris, 3, 3))).reshape(-1, 3),
+            jnp.float32,
+        )
+        scene = tri_scene(verts, n_tris=n_tris,
+                          alphas=rng.uniform(0.2, 1.0, n_tris))
+        # give it a non-trivial texture map + uvs
+        maps = jnp.asarray(rng.random((1, 16, 16, 3)), jnp.float32)
+        uvv = jnp.asarray(rng.random((3 * n_tris, 2)), jnp.float32)
+        uvf = jnp.arange(3 * n_tris, dtype=jnp.int32).reshape(n_tris, 3)
+        scene = scene._replace(
+            atlas=scene.atlas._replace(maps=maps), uv_verts=uvv, uv_faces=uvf
+        )
+
+        for sigma, detach in [(1e-3, True), (1e-3, False), (0.0, True)]:
+            cfg = RendererConfig(image_size=(24, 32), faces_per_pixel=4,
+                                 sigma=sigma, detach_bary=detach)
+            rend = Renderer(cfg, fov_cam())
+            rcfg = cfg.raster_config()
+            geom = project_faces(scene.verts, scene.faces, EYE, ZERO, fov_cam())
+            sig, blur = rend._sigma_blur(None)
+            p2f = rasterize(geom, blur, rcfg)
+
+            fused = rend._shade_fused(scene, geom, p2f, sig)
+
+            frags = interpolate_fragments(p2f, geom, rcfg, detach_bary=detach)
+            colors = shade_raw(frags, scene)
+            alpha = fragment_alpha(frags, sig, clip_inside=cfg.clip_inside)
+            alpha = alpha * scene.faces_alpha[jnp.maximum(frags.pix_to_face, 0)]
+            modular = layered_blend(colors, alpha, cfg.background_color)
+
+            np.testing.assert_allclose(
+                np.asarray(fused), np.asarray(modular), atol=2e-5,
+                err_msg=f"sigma={sigma}, detach={detach}",
+            )
