@@ -48,6 +48,11 @@ class Trainer:
     def __init__(self, cfg, run_dir):
         self.run_dir = path_mkdir(run_dir)
         self.cfg = cfg
+        if cfg.get("training", {}).get("debug_nans"):
+            # NaN anomaly detection (the reference keeps torch's
+            # set_detect_anomaly toggle in comments, trainer.py:31; the JAX
+            # equivalent re-runs offending primitives eagerly on NaN)
+            jax.config.update("jax_debug_nans", True)
         self.train_loader, self.val_loader, self.test_loader = (
             create_train_val_test_loader(cfg)
         )
