@@ -18,9 +18,15 @@ iota comparison (VPU) and contracts it on the MXU, accumulating (F, C).
 
 from __future__ import annotations
 
+import os
 
 import jax
 import jax.numpy as jnp
+
+# Escape hatches for the optimized backward paths (used to bisect
+# compile-time/runtime behavior per backend; see BENCH_NOTES.md):
+#   DBW_FAST_SCATTER=0  -> plain XLA scatter-add backward everywhere
+FAST_SCATTER = os.environ.get("DBW_FAST_SCATTER", "1") != "0"
 
 
 def one_hot_scatter_add(idx, updates, n_rows, tile=65536, precision=None):
@@ -95,9 +101,17 @@ def _gather_bwd(res, g):
     idx, F = res
     flat_idx = idx.reshape(-1)
     flat_g = g.reshape(-1, g.shape[-1])
-    d_table = one_hot_scatter_add(
-        jnp.where(flat_idx >= 0, flat_idx, -1), flat_g, F
-    )
+    masked = jnp.where(flat_idx >= 0, flat_idx, F)  # out-of-range -> dropped
+    if FAST_SCATTER:
+        d_table = one_hot_scatter_add(
+            jnp.where(flat_idx >= 0, flat_idx, -1), flat_g, F
+        )
+    else:
+        d_table = (
+            jnp.zeros((F + 1, g.shape[-1]), flat_g.dtype)
+            .at[masked]
+            .add(flat_g)[:F]
+        )
     return d_table, None
 
 

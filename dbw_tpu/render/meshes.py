@@ -120,7 +120,7 @@ def _sample_flat_fwd(maps_flat, ids, w):
 
 
 def _sample_flat_bwd(res, g):
-    from ..ops.scatter import sorted_segment_sum
+    from ..ops.scatter import FAST_SCATTER, sorted_segment_sum
 
     ids, w, n = res
     C = g.shape[-1]
@@ -131,7 +131,10 @@ def _sample_flat_bwd(res, g):
     all_upd = jnp.concatenate(
         [(w[k][..., None] * g).reshape(-1, C) for k in range(4)]
     )
-    d_maps = sorted_segment_sum(all_ids, all_upd, n)
+    if FAST_SCATTER:
+        d_maps = sorted_segment_sum(all_ids, all_upd, n)
+    else:
+        d_maps = jnp.zeros((n, C), all_upd.dtype).at[all_ids].add(all_upd)
     # w is treated as non-differentiable here: uv gradients are only needed
     # when detach_bary is False; that path uses diff_uv=True instead.
     return d_maps, None, None
