@@ -177,3 +177,31 @@ class TestRegistry:
         m = create_model(cfg, (16, 16))
         assert isinstance(m, BlocksWorld)
         assert m.loss_names[-1] == "loss_total"
+
+
+class TestExport:
+    def test_export_scene_obj_filters_dead_blocks(self, model, params, tmp_path):
+        from dbw_tpu.eval.export import export_blocks_mesh, export_scene_obj
+        from dbw_tpu.utils.obj_io import load_obj
+
+        p = params._replace(
+            alpha_logit=jnp.asarray([5.0, -5.0, 5.0, -5.0])  # 2 alive, 2 dead
+        )
+        v, f = export_blocks_mesh(model, p, filter_transparent=True)
+        assert v.shape == (2 * 42, 3)
+        assert f.shape == (2 * 80, 3)
+
+        export_scene_obj(model, p, tmp_path / "scene.obj", filter_transparent=True)
+        assert (tmp_path / "scene.obj").exists()
+        assert (tmp_path / "scene.png").exists()
+        v2, f2 = load_obj(tmp_path / "scene.obj")
+        # bkg (162) + ground (81) + 2 alive blocks (2x42)
+        assert len(v2) == 162 + 81 + 84
+        assert f2.max() == len(v2) - 1
+
+    def test_export_all_dead(self, model, params):
+        from dbw_tpu.eval.export import export_blocks_mesh
+
+        p = params._replace(alpha_logit=jnp.full((4,), -9.0))
+        v, f = export_blocks_mesh(model, p, filter_transparent=True)
+        assert len(v) == 0 and len(f) == 0
