@@ -25,8 +25,14 @@ import jax.numpy as jnp
 
 # Escape hatches for the optimized backward paths (used to bisect
 # compile-time/runtime behavior per backend; see BENCH_NOTES.md):
-#   DBW_FAST_SCATTER=0  -> plain XLA scatter-add backward everywhere
-FAST_SCATTER = os.environ.get("DBW_FAST_SCATTER", "1") != "0"
+#   DBW_FAST_SCATTER=0       plain XLA scatter-add backward everywhere
+#   DBW_FAST_SCATTER=1/all   one-hot-matmul face backward + sort texel backward
+#   DBW_FAST_SCATTER=gather  only the face-table one-hot backward
+#   DBW_FAST_SCATTER=texel   only the sort-based texel backward
+_MODE = os.environ.get("DBW_FAST_SCATTER", "1").lower()
+FAST_GATHER = _MODE in ("1", "all", "gather", "true")
+FAST_TEXEL = _MODE in ("1", "all", "texel", "true")
+FAST_SCATTER = FAST_GATHER  # back-compat alias
 
 
 def one_hot_scatter_add(idx, updates, n_rows, tile=65536, precision=None):
@@ -102,7 +108,7 @@ def _gather_bwd(res, g):
     flat_idx = idx.reshape(-1)
     flat_g = g.reshape(-1, g.shape[-1])
     masked = jnp.where(flat_idx >= 0, flat_idx, F)  # out-of-range -> dropped
-    if FAST_SCATTER:
+    if FAST_GATHER:
         d_table = one_hot_scatter_add(
             jnp.where(flat_idx >= 0, flat_idx, -1), flat_g, F
         )

@@ -120,7 +120,7 @@ def _sample_flat_fwd(maps_flat, ids, w):
 
 
 def _sample_flat_bwd(res, g):
-    from ..ops.scatter import FAST_SCATTER, sorted_segment_sum
+    from ..ops.scatter import FAST_TEXEL, sorted_segment_sum
 
     ids, w, n = res
     C = g.shape[-1]
@@ -131,7 +131,7 @@ def _sample_flat_bwd(res, g):
     all_upd = jnp.concatenate(
         [(w[k][..., None] * g).reshape(-1, C) for k in range(4)]
     )
-    if FAST_SCATTER:
+    if FAST_TEXEL:
         d_maps = sorted_segment_sum(all_ids, all_upd, n)
     else:
         d_maps = jnp.zeros((n, C), all_upd.dtype).at[all_ids].add(all_upd)
