@@ -22,11 +22,11 @@ os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
 )
-# The optimized scatter backwards trip a pathological server-side compile in
-# the axon remote-compile environment (see BENCH_NOTES.md); default the bench
-# to the configuration proven to compile there. Override with
-# DBW_FAST_SCATTER=all on normal TPU hosts.
-os.environ.setdefault("DBW_FAST_SCATTER", "0")
+# Fast-backward default: the sort-based texel backward compiles fine and
+# ~2x's the step; the one-hot-scan face-table backward trips a pathological
+# server-side compile in the axon remote-compile environment (BENCH_NOTES.md),
+# so it stays off here. Override with DBW_FAST_SCATTER=all on normal hosts.
+os.environ.setdefault("DBW_FAST_SCATTER", "texel")
 
 
 REFERENCE_STEPS_PER_SEC = 1.0 / 0.65  # BASELINE.md derived: ~0.65 s/step

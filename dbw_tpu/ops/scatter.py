@@ -29,7 +29,7 @@ import jax.numpy as jnp
 #   DBW_FAST_SCATTER=1/all   one-hot-matmul face backward + sort texel backward
 #   DBW_FAST_SCATTER=gather  only the face-table one-hot backward
 #   DBW_FAST_SCATTER=texel   only the sort-based texel backward
-_MODE = os.environ.get("DBW_FAST_SCATTER", "1").lower()
+_MODE = os.environ.get("DBW_FAST_SCATTER", "texel").lower()
 FAST_GATHER = _MODE in ("1", "all", "gather", "true")
 FAST_TEXEL = _MODE in ("1", "all", "texel", "true")
 FAST_SCATTER = FAST_GATHER  # back-compat alias
