@@ -109,9 +109,11 @@ def _gather_bwd(res, g):
     flat_g = g.reshape(-1, g.shape[-1])
     masked = jnp.where(flat_idx >= 0, flat_idx, F)  # out-of-range -> dropped
     if FAST_GATHER:
-        d_table = one_hot_scatter_add(
-            jnp.where(flat_idx >= 0, flat_idx, -1), flat_g, F
-        )
+        # sort-based segment sum (same pipeline as the texel backward; the
+        # earlier one-hot lax.scan matmul variant triggered a pathological
+        # server-side compile in the axon environment). Row F catches the
+        # clamped negative indices and is dropped.
+        d_table = sorted_segment_sum(masked, flat_g, F + 1)[:F]
     else:
         d_table = (
             jnp.zeros((F + 1, g.shape[-1]), flat_g.dtype)
