@@ -46,3 +46,51 @@ def load_checkpoint(path):
     ms = {k.replace("spq_", "sq_"): v for k, v in ms.items()}
     state["model_state"] = SceneParams(**ms)
     return state
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend: TPU-native async/multi-host-safe checkpointing for long
+# runs (the pickle format above stays the default for its exact parity with
+# the reference's model.pkl contract).
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint_orbax(directory, params, opt_state, epoch, batch,
+                          model_kwargs=None):
+    import orbax.checkpoint as ocp
+
+    directory = Path(directory).absolute()
+    ckptr = ocp.StandardCheckpointer()
+    payload = {
+        "model_state": _to_numpy(params)._asdict(),
+        "optimizer_state": _to_numpy(opt_state),
+        "meta": {
+            "epoch": np.asarray(epoch), "batch": np.asarray(batch),
+        },
+    }
+    ckptr.save(directory / "state", payload, force=True)
+    ckptr.wait_until_finished()
+    (directory / "model_kwargs.pkl").write_bytes(
+        pickle.dumps(model_kwargs or {})
+    )
+    return directory
+
+
+def load_checkpoint_orbax(directory):
+    import orbax.checkpoint as ocp
+
+    directory = Path(directory).absolute()
+    ckptr = ocp.StandardCheckpointer()
+    payload = ckptr.restore(directory / "state")
+    ms = {
+        k.replace("spq_", "sq_"): v for k, v in payload["model_state"].items()
+    }
+    return {
+        "model_state": SceneParams(**ms),
+        "optimizer_state": payload["optimizer_state"],
+        "epoch": int(payload["meta"]["epoch"]),
+        "batch": int(payload["meta"]["batch"]),
+        "model_kwargs": pickle.loads(
+            (directory / "model_kwargs.pkl").read_bytes()
+        ),
+    }

@@ -140,3 +140,22 @@ class TestEndToEnd:
                                      "n_epoches": 7}}
         t2 = Trainer(cfg2, tmp_path, seed=123)
         assert t2.epoch_start == 7
+
+
+class TestOrbaxCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        from dbw_tpu.train.checkpoint import (
+            load_checkpoint_orbax,
+            save_checkpoint_orbax,
+        )
+
+        m, params = tiny_params()
+        opt = create_optimizer(TRAIN_CFG, params)
+        state = opt.init(params)
+        save_checkpoint_orbax(tmp_path / "ck", params, state, 9, 2,
+                              model_kwargs={"mesh": {"n_blocks": 2}})
+        ckpt = load_checkpoint_orbax(tmp_path / "ck")
+        assert ckpt["epoch"] == 9 and ckpt["batch"] == 2
+        assert isinstance(ckpt["model_state"], SceneParams)
+        np.testing.assert_allclose(ckpt["model_state"].S, np.asarray(params.S))
+        assert ckpt["model_kwargs"]["mesh"]["n_blocks"] == 2
