@@ -109,7 +109,16 @@ class VGG16Features:
         return [(d[f"w{i}"], d[f"b{i}"]) for i in range(n)]
 
     @classmethod
-    def from_env_or_random(cls, seed=0, dtype=jnp.float32, path=None):
+    def from_env_or_random(cls, seed=0, dtype=None, path=None):
+        if dtype is None:
+            # bf16 on TPU (MXU-native convs; features are loss-only so the
+            # reduced precision is inconsequential), f32 elsewhere
+            import jax
+
+            dtype = (
+                jnp.bfloat16
+                if jax.default_backend() not in ("cpu",) else jnp.float32
+            )
         path = path or os.environ.get("DBW_VGG_WEIGHTS")
         if path and os.path.exists(path):
             if path.endswith(".npz"):
