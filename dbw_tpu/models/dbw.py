@@ -116,8 +116,12 @@ class BlocksWorld:
     name = "dbw"
 
     def __init__(self, img_size, mesh=None, renderer=None, rend_optim=None,
-                 loss=None, backend="xla", vgg=None, **unused):
+                 loss=None, backend=None, vgg=None, **unused):
         assert not unused, f"unknown model config keys: {unused}"
+        if backend is None:
+            # Pallas selection kernel on TPU (4x faster than the XLA
+            # backend, see BENCH_NOTES.md); pure-XLA elsewhere
+            backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
         mesh = dict(mesh or {})
         renderer = dict(renderer or {})
         rend_optim = dict(rend_optim or {})

@@ -31,7 +31,7 @@ class RendererConfig(NamedTuple):
     background_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     clip_inside: bool = True
     detach_bary: bool = False
-    shading: str = "raw"             # 'raw' | 'flat'
+    shading: str = "raw"             # 'raw' | 'flat' | 'phong'
     ambient_color: Optional[Tuple[float, float, float]] = None
     diffuse_color: Tuple[float, float, float] = (0.4, 0.4, 0.4)
     light_direction: Tuple[float, float, float] = DIRECTION_LIGHT
