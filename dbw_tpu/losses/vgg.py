@@ -37,12 +37,14 @@ _LPIPS_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 
 def _conv(x, w, b):
+    # inputs/weights share a dtype (bf16 on TPU); no preferred_element_type
+    # so the VJP's transposed conv also sees matching dtypes (the MXU still
+    # accumulates partial products in f32 internally)
     y = jax.lax.conv_general_dilated(
         x, w, (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    return y + b
+    return y + b.astype(y.dtype)
 
 
 def _maxpool2(x):
