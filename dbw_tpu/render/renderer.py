@@ -23,6 +23,13 @@ from .shading import shade_flat, shade_raw
 
 DIRECTION_LIGHT = (1.0, 0.25, -1.0)  # camera-frame light (reference renderer.py:21)
 
+# DBW_REMAT=1 wraps the differentiable shading stage in jax.checkpoint:
+# the backward then recomputes the fragment math instead of storing ~30
+# N-sized intermediates — trades VPU flops for HBM residual traffic.
+import os as _os
+
+REMAT_SHADING = _os.environ.get("DBW_REMAT", "0") == "1"
+
 
 class RendererConfig(NamedTuple):
     image_size: Tuple[int, int]
@@ -277,9 +284,10 @@ class Renderer:
             p2f = rasterize_pallas_batched(
                 packed, jax.lax.stop_gradient(blur), rcfg
             )
-            return jax.vmap(
-                lambda g, p, r: self._shade_from_p2f(scene, g, p, r, sigma)
-            )(geom_b, p2f, R)
+            shade = lambda g, p, r: self._shade_from_p2f(scene, g, p, r, sigma)
+            if REMAT_SHADING:
+                shade = jax.checkpoint(shade)
+            return jax.vmap(shade)(geom_b, p2f, R)
         return jax.vmap(lambda r, t: self.render_view(scene, r, t, sigma))(R, T)
 
     # -- wireframe overlays ----------------------------------------------
