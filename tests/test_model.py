@@ -205,3 +205,58 @@ class TestExport:
         p = params._replace(alpha_logit=jnp.full((4,), -9.0))
         v, f = export_blocks_mesh(model, p, filter_transparent=True)
         assert len(v) == 0 and len(f) == 0
+
+
+@pytest.mark.slow
+class TestOptimizationDynamics:
+    def test_block_opacity_rises_when_blocks_explain_images(self):
+        """The soft-rasterizer gradient must push opacities UP for blocks
+        that explain the photometric evidence (the core mechanism of the
+        method — blocks start at alpha=0.5 and must commit)."""
+        from functools import partial
+
+        from dbw_tpu.data.synthetic import make_synthetic_scene
+        from dbw_tpu.train.optimizer import create_optimizer
+
+        ds, _, gt_params = make_synthetic_scene(
+            (48, 64), n_views=8, n_blocks=2, seed=11
+        )
+        m = BlocksWorld(
+            (48, 64),
+            mesh=dict(n_blocks=2, S_world=1.0, R_world=[0, 0, 0], txt_size=32,
+                      T_range=[0.3, 0.3, 0.3]),
+            renderer=dict(faces_per_pixel=4, detach_bary=True, z_clip=0.001),
+            rend_optim=dict(coarse_learning=10000, decouple_rendering=True,
+                            kill_blocks=True),
+            loss=dict(rgb_weight=1),
+        )
+        m.set_camera(ds.K[0])
+        params = m.init_params(3)._replace(
+            T=gt_params.T, S=gt_params.S, R_6d=gt_params.R_6d,
+            sq_eps=gt_params.sq_eps,
+        )
+        cfg = {"training": {"optimizer": {"name": "adam", "lr": 5e-3,
+                                          "texture": {"lr": 5e-2}}}}
+        opt = create_optimizer(cfg, params)
+        state = opt.init(params)
+        phase = m.phase_for_epoch(0, True)
+        lrs = {"main": jnp.float32(5e-3), "texture": jnp.float32(5e-2)}
+        imgs, R, T = jnp.asarray(ds.imgs), jnp.asarray(ds.R), jnp.asarray(ds.T)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(p, s, k):
+            def loss_fn(pp):
+                losses = m.forward(pp, phase, imgs, R, T, k)
+                return losses["total"], losses
+
+            g, losses = jax.grad(loss_fn, has_aux=True)(p)
+            u, s = opt.update(g, s, lrs)
+            return jax.tree_util.tree_map(lambda a, b: a + b, p, u), s, losses
+
+        key = jax.random.PRNGKey(0)
+        a0 = np.asarray(jax.nn.sigmoid(params.alpha_logit))
+        for _ in range(120):
+            key, k = jax.random.split(key)
+            params, state, _ = step(params, state, k)
+        a1 = np.asarray(jax.nn.sigmoid(params.alpha_logit))
+        assert (a1 > a0 + 0.04).any(), f"opacities did not rise: {a0} -> {a1}"
