@@ -36,6 +36,11 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument(
+        "--steps-per-call", type=int, default=5,
+        help="optimizer steps lax.scan'd inside one device program "
+        "(amortizes host dispatch; device math identical)",
+    )
     parser.add_argument("--backend", type=str, default=None,
                         help="rasterizer backend override (xla|pallas)")
     parser.add_argument("--no-perceptual", action="store_true")
@@ -76,31 +81,49 @@ def main():
 
     from functools import partial
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, key):
-        def loss_fn(p):
-            losses = model.forward(p, phase, imgs, R, T, key)
-            return losses["total"], losses
+    SPC = max(args.steps_per_call, 1)
 
-        grads, losses = jax.grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, lrs)
-        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-        return params, opt_state, losses["total"]
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def multi_step(params, opt_state, keys):
+        """lax.scan of SPC optimizer steps in ONE device program — the
+        trainer-shaped inner loop (same batch each step here; throughput
+        is batch-content independent)."""
+
+        def body(carry, key):
+            p, o = carry
+
+            def loss_fn(pp):
+                losses = model.forward(pp, phase, imgs, R, T, key)
+                return losses["total"], losses
+
+            grads, losses = jax.grad(loss_fn, has_aux=True)(p)
+            updates, o = optimizer.update(grads, o, lrs)
+            p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
+            return (p, o), losses["total"]
+
+        (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), keys)
+        return params, opt_state, losses[-1]
 
     key = jax.random.PRNGKey(0)
-    for i in range(args.warmup):
-        key, k = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, k)
+
+    def run_call(params, opt_state, key):
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, SPC)
+        params, opt_state, loss = multi_step(params, opt_state, keys)
+        return params, opt_state, loss, key
+
+    for _ in range(max(args.warmup // SPC, 1)):
+        params, opt_state, loss, key = run_call(params, opt_state, key)
     jax.block_until_ready(loss)
 
+    n_calls = max(args.steps // SPC, 1)
     t0 = time.perf_counter()
-    for i in range(args.steps):
-        key, k = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, k)
+    for _ in range(n_calls):
+        params, opt_state, loss, key = run_call(params, opt_state, key)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 
-    steps_per_sec = args.steps / dt
+    steps_per_sec = n_calls * SPC / dt
     # rendered Mpix/s fwd+bwd: soft blocks pass + hard env pass per view
     mpix = B * H * W * 2 * steps_per_sec / 1e6
     print(
