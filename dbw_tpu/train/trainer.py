@@ -61,6 +61,7 @@ class Trainer:
         self.model.set_camera(self.dataset.K[0])
 
         self.batch_size = cfg["training"].get("batch_size", 4)
+        self.steps_per_call = int(cfg["training"].get("steps_per_call", 1))
         self.n_epoches = cfg["training"].get("n_epoches", 1)
         self.n_batches = len(self.train_loader)
         self.epoch_start, self.batch_start = 1, 1
@@ -170,6 +171,32 @@ class Trainer:
             params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
             return params, opt_state, losses
 
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def multi_step(params, opt_state, imgs_s, R_s, T_s, phase, lrs, keys):
+            """S optimizer steps scanned in ONE device program (inputs have a
+            leading S axis). Amortizes per-dispatch host overhead — on the
+            benched v5e the device step is ~260 ms but each dispatch costs
+            ~500 ms through the host runtime (BENCH_NOTES.md)."""
+
+            def body(carry, xs):
+                p, o = carry
+                imgs, R, T, key = xs
+
+                def loss_fn(pp):
+                    losses = model.forward(pp, phase, imgs, R, T, key)
+                    return losses["total"], losses
+
+                grads, losses = jax.grad(loss_fn, has_aux=True)(p)
+                updates, o = optimizer.update(grads, o, lrs)
+                p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
+                return (p, o), losses
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (imgs_s, R_s, T_s, keys)
+            )
+            return params, opt_state, losses
+
+        self._multi_step = multi_step
         return step
 
     def _next_key(self):
@@ -205,6 +232,57 @@ class Trainer:
         dt = (time.time() - start) / max(n_real, 1)
         self.train_metrics.update({"time/img": dt, **losses}, N=n_real)
 
+    def _flush_scanned(self, pending, cur_iter, epoch):
+        """Run buffered batches (scanned when a full group, single-step for
+        ragged tails) and fire any interval actions crossed by the group."""
+        if len(pending) == self.steps_per_call:
+            self.run_scanned_batches([inp for _, inp in pending])
+        else:  # ragged tail: reuse the single-step program
+            for _, inp in pending:
+                self.run_single_batch_train(inp)
+        last_batch = pending[-1][0]
+        do_log = do_val = False
+        for _ in pending:
+            do_log |= cur_iter % self.train_stat_interval == 0
+            do_val |= cur_iter % self.val_stat_interval == 0
+            cur_iter += 1
+        if do_log:
+            self.log_train_metrics(cur_iter - 1, epoch, last_batch)
+        if do_val:
+            self.run_val_and_log(cur_iter - 1, epoch, last_batch)
+            self.log_visualizations(cur_iter - 1)
+            self.save(epoch=epoch, batch=last_batch)
+        return cur_iter
+
+    def run_scanned_batches(self, inps):
+        """S batches in one scanned device call (training.steps_per_call > 1).
+        Metric streams stay per-step; interval actions fire at call
+        boundaries (at most S-1 iterations late)."""
+        start = time.time()
+        S = len(inps)
+        padded = [self._pad_batch(inp) for inp in inps]
+        n_reals = [n for _, n in padded]
+        stack = lambda key: jnp.asarray(
+            np.stack([p[0][key] for p in padded])
+        )
+        phase = self.model.phase_for_epoch(self.cur_epoch - 1, training=True)
+        lrs = {
+            k: jnp.float32(v)
+            for k, v in self.scheduler.lrs(self.cur_epoch - 1).items()
+        }
+        keys = jnp.stack([self._next_key() for _ in range(S)])
+        self.params, self.opt_state, losses = self._multi_step(
+            self.params, self.opt_state,
+            stack("imgs"), stack("R"), stack("T"), phase, lrs, keys,
+        )
+        losses = jax.tree_util.tree_map(np.asarray, losses)
+        dt = (time.time() - start) / max(sum(n_reals), 1)
+        for s in range(S):
+            step_losses = {f"loss_{k}": float(v[s]) for k, v in losses.items()}
+            self.train_metrics.update(
+                {"time/img": dt, **step_losses}, N=n_reals[s]
+            )
+
     # ------------------------------------------------------------------
 
     @use_seed()
@@ -212,11 +290,20 @@ class Trainer:
         cur_iter = (self.epoch_start - 1) * self.n_batches + self.batch_start
         self.cur_epoch = self.epoch_start
         self.log_visualizations(cur_iter)
+        S = self.steps_per_call
         for epoch in range(self.epoch_start, self.n_epoches + 1):
             self.cur_epoch = epoch
             batch_start = self.batch_start if epoch == self.epoch_start else 1
+            pending = []  # (batch_idx, inp) buffered for a scanned call
             for batch, (inp, labels) in enumerate(self.train_loader, start=1):
                 if batch < batch_start:
+                    continue
+                if S > 1:
+                    pending.append((batch, inp))
+                    if len(pending) < S:
+                        continue
+                    cur_iter = self._flush_scanned(pending, cur_iter, epoch)
+                    pending = []
                     continue
                 self.run_single_batch_train(inp)
                 if cur_iter % self.train_stat_interval == 0:
@@ -226,6 +313,8 @@ class Trainer:
                     self.log_visualizations(cur_iter)
                     self.save(epoch=epoch, batch=batch)
                 cur_iter += 1
+            if pending:
+                cur_iter = self._flush_scanned(pending, cur_iter, epoch)
             if epoch != self.n_epoches:
                 self.step(epoch + 1)
             if epoch in self.save_epoches:

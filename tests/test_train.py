@@ -159,3 +159,40 @@ class TestOrbaxCheckpoint:
         assert isinstance(ckpt["model_state"], SceneParams)
         np.testing.assert_allclose(ckpt["model_state"].S, np.asarray(params.S))
         assert ckpt["model_kwargs"]["mesh"]["n_blocks"] == 2
+
+
+@pytest.mark.slow
+class TestScannedTrainer:
+    def test_steps_per_call_matches_metrics(self, tmp_path):
+        """steps_per_call > 1 must still write per-step metric rows and
+        train successfully."""
+        from dbw_tpu.train.trainer import Trainer
+
+        cfg = {
+            "dataset": {"name": "synthetic", "tag": "t0", "img_size": [24, 32],
+                        "n_views": 8, "seed": 3},
+            "model": {
+                "name": "dbw",
+                "mesh": dict(n_blocks=2, txt_size=16, T_range=[0.5, 0.5, 0.5]),
+                "renderer": dict(faces_per_pixel=2),
+                "rend_optim": dict(coarse_learning=50,
+                                   decouple_rendering=True),
+                "loss": dict(rgb_weight=1),
+            },
+            "training": {
+                "batch_size": 4, "n_epoches": 3, "steps_per_call": 2,
+                "optimizer": {"name": "adam", "lr": 5e-3,
+                              "texture": {"lr": 5e-2}},
+                "scheduler": {"name": "multi_step", "milestones": []},
+                "train_stat_interval": 2, "val_stat_interval": 4, "seed": 9,
+            },
+        }
+        t = Trainer(cfg, tmp_path, seed=9)
+        t.log_visualizations = lambda *a, **k: None
+        t.save_metric_plots = lambda *a, **k: None
+        t.evaluate = lambda *a, **k: None
+        t.run(seed=9)
+        df = t.train_metrics.read_log()
+        assert len(df) >= 2
+        assert np.isfinite(df["loss_total"]).all()
+        assert df["loss_total"].iloc[-1] < df["loss_total"].iloc[0] * 1.5
