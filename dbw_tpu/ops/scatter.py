@@ -76,10 +76,10 @@ def sorted_segment_sum(ids, updates, n_rows):
       produce identical consecutive lastpos -> zero by construction.
     """
     N, C = updates.shape
-    # 2-operand sort (keys + permutation) then payload gathers — measured
-    # cheaper than an (1+C)-operand sort at ~20M rows on v5e
-    s, order = jax.lax.sort((ids, jax.lax.iota(jnp.int32, N)), num_keys=1)
-    u = updates[order]
+    cols = [updates[:, c] for c in range(C)]
+    sorted_all = jax.lax.sort((ids,) + tuple(cols), num_keys=1)
+    s = sorted_all[0]
+    u = jnp.stack(sorted_all[1:], axis=-1)
     cs = jnp.cumsum(u, axis=0)
     counts = jnp.bincount(s, length=n_rows)  # ids must lie in [0, n_rows)
     lastpos = jnp.cumsum(counts) - 1

@@ -143,43 +143,6 @@ def _sample_flat_bwd(res, g):
 _sample_flat.defvjp(_sample_flat_fwd, _sample_flat_bwd)
 
 
-@jax.custom_vjp
-def _sample_flat_diffuv(maps_flat, ids, w):
-    """Like _sample_flat but differentiable in the corner weights too (the
-    env pass learns the ground pose through uv -> w gradients). Backward:
-    d_maps via the sort-based segment sum, d_w via corner re-gathers."""
-    out = 0.0
-    for k in range(4):
-        out = out + maps_flat[ids[k]] * w[k][..., None]
-    return out
-
-
-def _sample_flat_diffuv_fwd(maps_flat, ids, w):
-    return _sample_flat_diffuv(maps_flat, ids, w), (maps_flat, ids, w)
-
-
-def _sample_flat_diffuv_bwd(res, g):
-    from ..ops.scatter import FAST_TEXEL, sorted_segment_sum
-
-    maps_flat, ids, w = res
-    n, C = maps_flat.shape
-    all_ids = jnp.concatenate([i.reshape(-1) for i in ids])
-    all_upd = jnp.concatenate(
-        [(w[k][..., None] * g).reshape(-1, C) for k in range(4)]
-    )
-    if FAST_TEXEL:
-        d_maps = sorted_segment_sum(all_ids, all_upd, n)
-    else:
-        d_maps = jnp.zeros((n, C), all_upd.dtype).at[all_ids].add(all_upd)
-    d_w = tuple(
-        jnp.sum(maps_flat[ids[k]] * g, axis=-1) for k in range(4)
-    )
-    return d_maps, None, d_w
-
-
-_sample_flat_diffuv.defvjp(_sample_flat_diffuv_fwd, _sample_flat_diffuv_bwd)
-
-
 def sample_atlas_bilinear(maps, map_idx, uv, diff_uv=False):
     """Bilinear texture lookup with align_corners=True.
 
@@ -195,6 +158,9 @@ def sample_atlas_bilinear(maps, map_idx, uv, diff_uv=False):
     ids, w = _bilinear_corners(map_idx, uv, TH, TW)
     maps_flat = maps.reshape(M * TH * TW, maps.shape[-1])
     if diff_uv:
-        return _sample_flat_diffuv(maps_flat, ids, w)
+        out = 0.0
+        for k in range(4):
+            out = out + maps_flat[ids[k]] * w[k][..., None]
+        return out
     w_sg = tuple(jax.lax.stop_gradient(wk) for wk in w)
     return _sample_flat(maps_flat, ids, w_sg)
