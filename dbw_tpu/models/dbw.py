@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..losses.basic import mse_loss, tv_norm_funcs
-from ..losses.vgg import PerceptualLoss, VGG16Features
+from ..losses.vgg import LPIPSLoss, PerceptualLoss, VGG16Features
 from ..ops.icosphere import icosphere, plane_mesh, subdivide
 from ..ops.rotations import euler_world_matrix, random_rotations, rotation_6d_to_matrix
 from ..ops.safe_math import safe_pow
@@ -185,8 +185,11 @@ class BlocksWorld:
         self.loss_weights = {k: v for k, v in weights.items() if v > 0}
         self.loss_names = [f"loss_{n}" for n in list(self.loss_weights) + ["total"]]
         if "perceptual" in self.loss_weights:
+            # honor the configured flavor; reference defaults to LPIPS
+            # (src/model/dbw.py:155,163 + registry src/model/loss.py:12-25)
             shared_vgg = vgg or VGG16Features.from_env_or_random(path=vgg_weights_path)
-            self.perceptual_loss = PerceptualLoss(vgg=shared_vgg)
+            cls = {"lpips": LPIPSLoss, "perceptual": PerceptualLoss}[self.perceptual_name]
+            self.perceptual_loss = cls(vgg=shared_vgg)
         else:
             self.perceptual_loss = None
 

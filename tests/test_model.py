@@ -260,3 +260,37 @@ class TestOptimizationDynamics:
             params, state, _ = step(params, state, k)
         a1 = np.asarray(jax.nn.sigmoid(params.alpha_logit))
         assert (a1 > a0 + 0.04).any(), f"opacities did not rise: {a0} -> {a1}"
+
+
+class TestPerceptualFlavor:
+    """perceptual_name must select the loss class (reference defaults to
+    LPIPS: src/model/dbw.py:155,163)."""
+
+    def _mk(self, loss):
+        m = BlocksWorld(IMG, **{**MODEL_CFG, "loss": loss})
+        K = np.zeros((4, 4), np.float32)
+        K[0, 0] = K[1, 1] = 2.0
+        m.set_camera(K)
+        return m
+
+    def test_default_is_lpips(self):
+        from dbw_tpu.losses.vgg import LPIPSLoss
+
+        m = self._mk({**MODEL_CFG["loss"], "perceptual_weight": 0.1})
+        assert isinstance(m.perceptual_loss, LPIPSLoss)
+
+    def test_vgg_perceptual_selectable(self):
+        from dbw_tpu.losses.vgg import PerceptualLoss
+
+        m = self._mk({**MODEL_CFG["loss"], "perceptual_weight": 0.1,
+                      "perceptual_name": "perceptual"})
+        assert isinstance(m.perceptual_loss, PerceptualLoss)
+
+    def test_perceptual_loss_runs_in_forward(self, params):
+        m = self._mk({**MODEL_CFG["loss"], "perceptual_weight": 0.1})
+        phase = m.phase_for_epoch(0, training=True)
+        R, T = cams(2)
+        imgs = jnp.full((2,) + IMG + (3,), 0.5, jnp.float32)
+        losses = m.forward(params, phase, imgs, R, T, jax.random.PRNGKey(0))
+        assert "perceptual" in losses
+        assert np.isfinite(float(losses["total"]))
