@@ -13,4 +13,4 @@ the TPU-native replacements are:
 """
 
 from .mesh import make_mesh, factor_devices
-from .seeds import MultiSeedRunner, stack_params
+from .seeds import MultiSeedRunner, stack_params, pad_seeds, select_best_seed

@@ -8,21 +8,31 @@ import jax
 from jax.sharding import Mesh
 
 
-def factor_devices(n, max_data=4):
-    """Factor n devices into (seed, data) axes: prefer putting devices on the
-    seed axis (independent optimizations, zero ICI traffic), with a small
-    data axis when n exceeds the seed count we need."""
-    for data in range(min(max_data, n), 0, -1):
-        if n % data == 0:
-            return n // data, data
-    return n, 1
+def factor_devices(n, n_seeds=None):
+    """Factor n devices into (seed, data) axes, preferring the seed axis:
+    seeds are independent optimizations with zero ICI traffic, while the
+    data axis pays a gradient all-reduce every step.
+
+    Without a requested seed count, all devices go on the seed axis.
+    With ``n_seeds`` (e.g. the reference's 5-seed DTU protocol,
+    scripts/multi_pipeline.sh:12-23, on a v5e-8), the seed axis is the
+    smallest divisor of n that fits all seeds — leftover slots are padded
+    with duplicate seeds and masked out of best-selection (see
+    ``parallel.seeds.pad_seeds`` / ``select_best_seed``) — and any
+    remaining factor becomes the data axis."""
+    if n_seeds is None:
+        return n, 1
+    for seed_ax in sorted(d for d in range(1, n + 1) if n % d == 0):
+        if seed_ax >= n_seeds:
+            return seed_ax, n // seed_ax
+    return n, 1  # more seeds than devices: caller batches seeds per slot
 
 
-def make_mesh(n_seed=None, n_data=None, devices=None):
+def make_mesh(n_seed=None, n_data=None, devices=None, n_seeds=None):
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if n_seed is None or n_data is None:
-        n_seed, n_data = factor_devices(n)
+        n_seed, n_data = factor_devices(n, n_seeds=n_seeds)
     assert n_seed * n_data == n, (n_seed, n_data, n)
     arr = np.asarray(devices).reshape(n_seed, n_data)
     return Mesh(arr, ("seed", "data"))

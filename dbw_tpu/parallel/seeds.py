@@ -29,6 +29,29 @@ def unstack_params(stacked, i):
     return jax.tree_util.tree_map(lambda x: x[i], stacked)
 
 
+def pad_seeds(seeds, n_slots):
+    """Pad a seed list to fill the mesh seed axis (e.g. 5 seeds on a v5e-8
+    -> 8 slots): extra slots replicate seeds cyclically and are excluded
+    from best-selection via the ``n_valid`` mask. Returns
+    (padded_seeds, n_valid)."""
+    seeds = list(seeds)
+    n_valid = len(seeds)
+    assert n_slots >= n_valid, (n_slots, n_valid)
+    padded = seeds + [seeds[i % n_valid] for i in range(n_slots - n_valid)]
+    return padded, n_valid
+
+
+def select_best_seed(stacked_params, losses, n_valid=None):
+    """min-train-loss auto selection (reference README.md:152-157); padded
+    duplicate-seed slots beyond ``n_valid`` are masked out."""
+    losses = jnp.asarray(losses)
+    if n_valid is not None:
+        mask = jnp.arange(losses.shape[0]) >= n_valid
+        losses = jnp.where(mask, jnp.inf, losses)
+    best = int(jnp.argmin(losses))
+    return unstack_params(stacked_params, best), best
+
+
 class MultiSeedRunner:
     """Compiles and runs the seed x data sharded train step."""
 
@@ -84,7 +107,6 @@ class MultiSeedRunner:
         (S,))."""
         return self._step(stacked_params, stacked_opt, imgs, R, T, phase, lrs, keys)
 
-    def select_best(self, stacked_params, losses):
+    def select_best(self, stacked_params, losses, n_valid=None):
         """min-train-loss auto selection (reference README.md:152-157)."""
-        best = int(jnp.argmin(losses))
-        return unstack_params(stacked_params, best), best
+        return select_best_seed(stacked_params, losses, n_valid)

@@ -11,10 +11,39 @@ from dbw_tpu.parallel.seeds import MultiSeedRunner, stack_params, unstack_params
 
 
 def test_factor_devices():
-    assert factor_devices(8) == (2, 4)
+    # seed axis preferred: independent optimizations, zero ICI traffic
+    assert factor_devices(8) == (8, 1)
     assert factor_devices(1) == (1, 1)
     assert factor_devices(5) == (5, 1)
-    assert factor_devices(4) == (1, 4)
+    assert factor_devices(4) == (4, 1)
+    # requested seed count: smallest divisor >= n_seeds, rest on data
+    assert factor_devices(8, n_seeds=5) == (8, 1)
+    assert factor_devices(8, n_seeds=2) == (2, 4)
+    assert factor_devices(8, n_seeds=3) == (4, 2)
+    assert factor_devices(8, n_seeds=8) == (8, 1)
+    assert factor_devices(4, n_seeds=1) == (1, 4)
+    # more seeds than devices: all devices on seed axis, caller batches
+    assert factor_devices(4, n_seeds=9) == (4, 1)
+
+
+def test_five_seeds_on_eight_devices():
+    """The flagship 5-seed DTU protocol maps onto a v5e-8 via padded seed
+    slots excluded from selection."""
+    from dbw_tpu.parallel.seeds import pad_seeds, select_best_seed
+
+    mesh = make_mesh(n_seeds=5)
+    assert (mesh.shape["seed"], mesh.shape["data"]) == (8, 1)
+    padded, n_valid = pad_seeds([11, 22, 33, 44, 55], mesh.shape["seed"])
+    assert padded == [11, 22, 33, 44, 55, 11, 22, 33] and n_valid == 5
+
+    # a padded slot with the global min loss must NOT be selected
+    losses = jnp.asarray([0.5, 0.4, 0.6, 0.7, 0.45, 0.1, 0.2, 0.3])
+    stacked = {"x": jnp.arange(8.0)}
+    best_params, best = select_best_seed(stacked, losses, n_valid=n_valid)
+    assert best == 1 and float(best_params["x"]) == 1.0
+    # without the mask the padded slot would win
+    _, unmasked = select_best_seed(stacked, losses)
+    assert unmasked == 5
 
 
 def test_make_mesh_8():
