@@ -37,29 +37,41 @@ def sample_single_tri(n1, n2, v1, v2, tri_vert):
 
 
 def sample_mesh_surface(vertices, triangles, density=DOWNSAMPLE_DENSITY):
-    """Vertices + per-triangle grid samples at the target density."""
+    """Vertices + per-triangle grid samples at the target density.
+
+    Fully vectorized flat repeat/cumsum layout — no per-triangle Python
+    loop — producing the exact sample set AND order of the reference's
+    mp.Pool triangle loop (reference dtu_eval.py:21-31,72-78): triangles
+    in order, each triangle's grid row-major over (i, j)."""
+    vertices = np.asarray(vertices, np.float64)
     tri_vert = vertices[triangles]
     v1 = tri_vert[:, 1] - tri_vert[:, 0]
     v2 = tri_vert[:, 2] - tri_vert[:, 0]
-    l1 = np.linalg.norm(v1, axis=-1, keepdims=True)
-    l2 = np.linalg.norm(v2, axis=-1, keepdims=True)
-    area2 = np.linalg.norm(np.cross(v1, v2), axis=-1, keepdims=True)
-    nz = (area2 > 0)[:, 0]
-    l1, l2, area2, v1, v2, tri_vert = [
-        a[nz] for a in [l1, l2, area2, v1, v2, tri_vert]
-    ]
+    l1 = np.linalg.norm(v1, axis=-1)
+    l2 = np.linalg.norm(v2, axis=-1)
+    area2 = np.linalg.norm(np.cross(v1, v2), axis=-1)
+    nz = area2 > 0
+    v0 = tri_vert[nz, 0]
+    v1, v2, l1, l2, area2 = v1[nz], v2[nz], l1[nz], l2[nz], area2[nz]
     thr = density * np.sqrt(l1 * l2 / area2)
-    n1 = np.floor(l1 / thr)[:, 0]
-    n2 = np.floor(l2 / thr)[:, 0]
-    pts = [
-        sample_single_tri(n1[i], n2[i], v1[i : i + 1], v2[i : i + 1],
-                          tri_vert[i : i + 1, 0])
-        for i in range(len(n1))
-    ]
-    new_pts = (
-        np.concatenate(pts, axis=0) if pts else np.zeros((0, 3))
-    )
-    return np.concatenate([vertices, new_pts], axis=0)
+    n1 = np.floor(l1 / thr)
+    n2 = np.floor(l2 / thr)
+    counts = (n1.astype(np.int64) + 1) * (n2.astype(np.int64) + 1)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    total = int(offsets[-1])
+    if total == 0:
+        return np.concatenate([vertices, np.zeros((0, 3))], axis=0)
+    tri_id = np.repeat(np.arange(len(counts)), counts)
+    r = np.arange(total) - offsets[tri_id]
+    w2 = n2[tri_id].astype(np.int64) + 1
+    i = r // w2
+    j = r - i * w2
+    u = (i + 0.5) / np.maximum(n1[tri_id], 1e-7)
+    v = (j + 0.5) / np.maximum(n2[tri_id], 1e-7)
+    keep = u + v < 1
+    t = tri_id[keep]
+    pts = v1[t] * u[keep, None] + v2[t] * v[keep, None] + v0[t]
+    return np.concatenate([vertices, pts], axis=0)
 
 
 def greedy_radius_downsample(points, radius=DOWNSAMPLE_DENSITY):
@@ -95,7 +107,7 @@ def nn_distances(ref_points, queries):
 
 
 def evaluate_mesh(verts, faces, scan_id, dataset_dir, eval_dir, suffix="",
-                  save_viz=True):
+                  save_viz=True, shuffle_seed=0):
     """Write dtu_scores{suffix}.tsv (acc / comp / avg) for a predicted mesh
     in DTU world coordinates (millimeters)."""
     dataset_dir = Path(dataset_dir)
@@ -111,7 +123,9 @@ def evaluate_mesh(verts, faces, scan_id, dataset_dir, eval_dir, suffix="",
     faces = remap[faces]
 
     data_pcd = sample_mesh_surface(verts, faces)
-    rng = np.random.default_rng()
+    # seeded shuffle: the greedy downsample is order-dependent, so the
+    # protocol score is reproducible only with a fixed permutation
+    rng = np.random.default_rng(shuffle_seed)
     rng.shuffle(data_pcd, axis=0)
     data_down, _ = greedy_radius_downsample(data_pcd)
 
