@@ -10,10 +10,19 @@ by shape changes.
 
 from __future__ import annotations
 
+import os
+from functools import partial
 from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
+
+# Texel-gradient backend for the detached-uv (training) path:
+#   quad    (default) one base-id sort + 12-channel segment sum + dense
+#           4-shift stencil; forward is ONE (N, 12) quad-table gather
+#   sort    legacy: 4 corner ids concatenated into one 4N-row sort pipeline
+#   scatter plain XLA scatter-add (correctness reference)
+_TEXEL_MODE = os.environ.get("DBW_TEXEL", "quad").lower()
 
 
 class TextureAtlas(NamedTuple):
@@ -143,6 +152,102 @@ def _sample_flat_bwd(res, g):
 _sample_flat.defvjp(_sample_flat_fwd, _sample_flat_bwd)
 
 
+def _quad_table(maps_flat, TW):
+    """(R, C) flat atlas -> (R, 4C) table of the 2x2 bilinear neighborhoods:
+    row t holds texels [t, t+1, t+TW, t+TW+1] (zero-padded past the end).
+
+    Rows whose neighborhood crosses an atlas row / map boundary are only ever
+    sampled with EXACTLY zero weight for the crossing corners (x0 == TW-1
+    forces wx == 0, y0 == TH-1 forces wy == 0 — see _bilinear_corners), so
+    no masking is needed: garbage * 0 == 0."""
+    C = maps_flat.shape[-1]
+
+    def shift_up(k):
+        return jnp.concatenate(
+            [maps_flat[k:], jnp.zeros((k, C), maps_flat.dtype)], axis=0
+        )
+
+    return jnp.concatenate(
+        [maps_flat, shift_up(1), shift_up(TW), shift_up(TW + 1)], axis=1
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _sample_quad(maps_flat, id00, wx, wy, TW):
+    """Bilinear sample via the quad table: ONE row gather per fragment
+    (instead of 4 corner gathers); uv treated as non-differentiable.
+
+    maps_flat: (R, C); id00: (...,) i32 base-corner texel id; wx, wy: (...,)
+    f32 bilinear offsets in [0, 1]. Returns (..., C)."""
+    C = maps_flat.shape[-1]
+    q = _quad_table(maps_flat, TW)[id00]  # (..., 4C)
+    out = (
+        q[..., 0 * C:1 * C] * ((1 - wx) * (1 - wy))[..., None]
+        + q[..., 1 * C:2 * C] * (wx * (1 - wy))[..., None]
+        + q[..., 2 * C:3 * C] * ((1 - wx) * wy)[..., None]
+        + q[..., 3 * C:4 * C] * (wx * wy)[..., None]
+    )
+    return out
+
+
+def _sample_quad_fwd(maps_flat, id00, wx, wy, TW):
+    out = _sample_quad(maps_flat, id00, wx, wy, TW)
+    dtype_token = jnp.zeros((0,), maps_flat.dtype)
+    return out, (id00, wx, wy, maps_flat.shape[0], dtype_token)
+
+
+def _sample_quad_bwd(TW, res, g):
+    """d_maps via ONE base-id sort + 12-channel segment sum + 4-shift stencil.
+
+    The legacy pipeline sorts 4N concatenated corner rows; here the 4 corner
+    ids of a fragment are the fixed stencil {t, t+1, t+TW, t+TW+1} of its
+    base id t, so one N-row sort (payloads: wx, wy, g) + per-base segment
+    sums of the 4 weighted products G_k, then
+    d_maps[t] = G0[t] + G1[t-1] + G2[t-TW] + G3[t-TW-1] densely."""
+    id00, wx, wy, R, dtype_token = res
+    C = g.shape[-1]
+    N = id00.size
+    ids = id00.reshape(N)
+    cols = (wx.reshape(N).astype(jnp.float32), wy.reshape(N).astype(jnp.float32))
+    gf = g.reshape(N, C)
+    cols = cols + tuple(gf[:, c] for c in range(C))
+    sorted_all = jax.lax.sort((ids,) + cols, num_keys=1)
+    s = sorted_all[0]
+    swx, swy = sorted_all[1], sorted_all[2]
+    sg = jnp.stack(sorted_all[3:], axis=-1)  # (N, C)
+    upd = jnp.concatenate(
+        [
+            sg * ((1 - swx) * (1 - swy))[:, None],
+            sg * (swx * (1 - swy))[:, None],
+            sg * ((1 - swx) * swy)[:, None],
+            sg * (swx * swy)[:, None],
+        ],
+        axis=1,
+    )  # (N, 4C)
+    cs = jnp.cumsum(upd, axis=0)
+    counts = jnp.bincount(s, length=R)
+    lastpos = jnp.cumsum(counts) - 1
+    total_to = jnp.where(
+        (lastpos >= 0)[:, None], cs[jnp.clip(lastpos, 0, N - 1)], 0.0
+    )
+    prev = jnp.concatenate([jnp.zeros((1, 4 * C), cs.dtype), total_to[:-1]], 0)
+    G = total_to - prev  # (R, 4C) per-base-id corner sums
+
+    def shift_down(A, k):
+        return jnp.concatenate([jnp.zeros((k, C), A.dtype), A[:R - k]], axis=0)
+
+    d = (
+        G[:, 0 * C:1 * C]
+        + shift_down(G[:, 1 * C:2 * C], 1)
+        + shift_down(G[:, 2 * C:3 * C], TW)
+        + shift_down(G[:, 3 * C:4 * C], TW + 1)
+    )
+    return d.astype(dtype_token.dtype), None, None, None
+
+
+_sample_quad.defvjp(_sample_quad_fwd, _sample_quad_bwd)
+
+
 def sample_atlas_bilinear(maps, map_idx, uv, diff_uv=False):
     """Bilinear texture lookup with align_corners=True.
 
@@ -155,12 +260,26 @@ def sample_atlas_bilinear(maps, map_idx, uv, diff_uv=False):
     (used when detach_bary is off, e.g. the env pass where ground pose
     learns through texture sampling)."""
     M, TH, TW = maps.shape[0], maps.shape[1], maps.shape[2]
-    ids, w = _bilinear_corners(map_idx, uv, TH, TW)
     maps_flat = maps.reshape(M * TH * TW, maps.shape[-1])
     if diff_uv:
+        ids, w = _bilinear_corners(map_idx, uv, TH, TW)
         out = 0.0
         for k in range(4):
             out = out + maps_flat[ids[k]] * w[k][..., None]
         return out
+    if _TEXEL_MODE == "quad":
+        u = jnp.clip(uv[..., 0], 0.0, 1.0) * (TW - 1)
+        v = (1.0 - jnp.clip(uv[..., 1], 0.0, 1.0)) * (TH - 1)
+        x0 = jnp.floor(u)
+        y0 = jnp.floor(v)
+        wx = jax.lax.stop_gradient(u - x0)
+        wy = jax.lax.stop_gradient(v - y0)
+        id00 = (
+            map_idx * (TH * TW)
+            + y0.astype(jnp.int32) * TW
+            + x0.astype(jnp.int32)
+        )
+        return _sample_quad(maps_flat, id00, wx, wy, TW)
+    ids, w = _bilinear_corners(map_idx, uv, TH, TW)
     w_sg = tuple(jax.lax.stop_gradient(wk) for wk in w)
     return _sample_flat(maps_flat, ids, w_sg)

@@ -351,3 +351,84 @@ class TestRendererModes:
         T = jnp.broadcast_to(ZERO, (3, 3))
         out = rend.render(scene, R, T)
         assert out.shape == (3, 8, 8, 4)
+
+
+class TestQuadTexelSampling:
+    """The quad-table texel path (one base-id sort + stencil backward) must
+    match the legacy per-corner path in values AND atlas gradients."""
+
+    def _setup(self, seed=0, M=3, TH=16, TW=19, N=4000):
+        rng = np.random.default_rng(seed)
+        maps = jnp.asarray(rng.random((M, TH, TW, 3)), jnp.float32)
+        map_idx = jnp.asarray(rng.integers(0, M, (N,)), jnp.int32)
+        uv = jnp.asarray(rng.random((N, 2)), jnp.float32)
+        # hit the exact-boundary cases where corner clamping engages
+        uv = uv.at[0].set(jnp.array([1.0, 1.0]))
+        uv = uv.at[1].set(jnp.array([0.0, 0.0]))
+        uv = uv.at[2].set(jnp.array([1.0, 0.0]))
+        uv = uv.at[3].set(jnp.array([0.5, 1.0]))
+        return maps, map_idx, uv
+
+    def _run(self, mode, maps, map_idx, uv):
+        import dbw_tpu.render.meshes as mm
+
+        old = mm._TEXEL_MODE
+        mm._TEXEL_MODE = mode
+        try:
+            from dbw_tpu.render.meshes import sample_atlas_bilinear
+
+            def f(m):
+                out = sample_atlas_bilinear(m, map_idx, uv)
+                return (out * jnp.arange(1.0, 4.0)).sum(), out
+
+            (loss, out), grads = jax.value_and_grad(f, has_aux=True)(maps)
+            return np.asarray(out), np.asarray(grads)
+        finally:
+            mm._TEXEL_MODE = old
+
+    def test_quad_matches_scatter_small_strict(self):
+        """Small N: cumsum accumulation noise is negligible, so any stencil
+        mis-alignment would show as O(1) errors."""
+        maps, map_idx, uv = self._setup(N=64)
+        out_q, g_q = self._run("quad", maps, map_idx, uv)
+        out_r, g_r = self._run("scatter", maps, map_idx, uv)
+        np.testing.assert_allclose(out_q, out_r, atol=1e-6)
+        np.testing.assert_allclose(g_q, g_r, atol=2e-5)
+
+    def test_quad_matches_scatter_reference(self):
+        maps, map_idx, uv = self._setup()
+        out_q, g_q = self._run("quad", maps, map_idx, uv)
+        out_r, g_r = self._run("scatter", maps, map_idx, uv)
+        np.testing.assert_allclose(out_q, out_r, atol=1e-6)
+        # f32 cumsum-order noise over 4k fragments: ~1e-4 relative
+        np.testing.assert_allclose(g_q, g_r, rtol=2e-3, atol=1e-3)
+
+    def test_quad_matches_sort_path(self):
+        maps, map_idx, uv = self._setup(seed=7)
+        out_q, g_q = self._run("quad", maps, map_idx, uv)
+        out_s, g_s = self._run("sort", maps, map_idx, uv)
+        np.testing.assert_allclose(out_q, out_s, atol=1e-6)
+        np.testing.assert_allclose(g_q, g_s, rtol=2e-3, atol=1e-3)
+
+    def test_quad_all_fragments_one_texel(self):
+        """Heavy collision case: every fragment samples the same texel."""
+        maps = jnp.ones((2, 8, 8, 3), jnp.float32) * 0.5
+        N = 257
+        map_idx = jnp.ones((N,), jnp.int32)
+        uv = jnp.full((N, 2), 0.3, jnp.float32)
+        import dbw_tpu.render.meshes as mm
+        from dbw_tpu.render.meshes import sample_atlas_bilinear
+
+        outs = {}
+        for mode in ("quad", "scatter"):
+            old = mm._TEXEL_MODE
+            mm._TEXEL_MODE = mode
+            try:
+                g = jax.grad(
+                    lambda m: sample_atlas_bilinear(m, map_idx, uv).sum()
+                )(maps)
+            finally:
+                mm._TEXEL_MODE = old
+            outs[mode] = np.asarray(g)
+        np.testing.assert_allclose(outs["quad"], outs["scatter"], atol=1e-4)
+        assert abs(outs["quad"].sum() - N * 3) < 1e-2
