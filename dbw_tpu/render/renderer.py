@@ -108,9 +108,18 @@ class Renderer:
         return img
 
     def _shade_fused(self, scene: MeshScene, geom, p2f, sigma):
-        """TPU-optimized raw-shading path.
+        """Single-view wrapper over the batched fused shading path."""
+        geom_b = jax.tree_util.tree_map(lambda x: x[None], geom)
+        return self._shade_fused_batched(scene, geom_b, p2f[None], sigma)[0]
+
+    def _shade_fused_batched(self, scene: MeshScene, geom_b, p2f_b, sigma):
+        """TPU-optimized raw-shading path, batched over views.
 
         Design rules (learned the hard way — see BENCH_NOTES.md):
+        - ALL views are shaded in one flat (B*N,) fragment stream — the
+          texel-gradient sort/bincount/boundary-gather pipeline then runs
+          ONCE over the shared atlas instead of once per view (the per-view
+          vmap paid 4x the R-sized bincount + boundary gather),
         - per-face attributes pack into one gradient-carrying table (single
           dynamic gather with an MXU-matmul backward, ops/scatter.py) and
           one gradient-free static table,
@@ -118,8 +127,8 @@ class Renderer:
           arrays with component-wise math (like the Pallas kernel) — rank>3
           tensors with tiny trailing dims invite (8, 128) tile padding that
           blows HBM by 10-50x,
-        - texture sampling processes bilinear corners one at a time with a
-          sort-based segment-sum backward."""
+        - texture sampling uses the quad-table gather with the sort+stencil
+          backward (render/meshes.py)."""
         import jax.numpy as jnp
 
         from ..ops.scatter import gather_rows
@@ -129,20 +138,23 @@ class Renderer:
         rcfg = cfg.raster_config()
         Hs, Ws = rcfg.image_size
         K = rcfg.faces_per_pixel
+        B = p2f_b.shape[0]
         F = scene.faces.shape[0]
         N = Hs * Ws * K
 
-        # dynamic table (gradient-carrying): xy (6), z (3), face alpha (1)
+        # dynamic table (gradient-carrying): xy (6), z (3), face alpha (1);
+        # per-view face rows concatenated -> (B*F, 12)
         dyn = jnp.concatenate(
             [
-                geom.xy.reshape(F, 6),
-                geom.z,
-                scene.faces_alpha[:, None],
-                jnp.zeros((F, 2), geom.xy.dtype),
+                geom_b.xy.reshape(B * F, 6),
+                geom_b.z.reshape(B * F, 3),
+                jnp.tile(scene.faces_alpha, B)[:, None],
+                jnp.zeros((B * F, 2), geom_b.xy.dtype),
             ],
             axis=1,
         )
-        # static table (no gradients): uv corners (6), map index (1)
+        # static table (no gradients): uv corners (6), map index (1) —
+        # view-independent, one copy
         stat = jax.lax.stop_gradient(
             jnp.concatenate(
                 [
@@ -153,9 +165,13 @@ class Renderer:
                 axis=1,
             )
         )
-        p2f_flat = p2f.reshape(N)
-        tab = gather_rows(dyn, p2f_flat)                 # (N, 12)
-        stab = stat[jnp.maximum(p2f_flat, 0)]            # (N, 8), constant
+        p2f_flat = p2f_b.reshape(B * N)
+        view_off = jnp.repeat(
+            jnp.arange(B, dtype=jnp.int32) * F, N, total_repeat_length=B * N
+        )
+        dyn_idx = jnp.where(p2f_flat >= 0, p2f_flat + view_off, -1)
+        tab = gather_rows(dyn, dyn_idx)                  # (B*N, 12)
+        stab = stat[jnp.maximum(p2f_flat, 0)]            # (B*N, 8), constant
 
         x0, y0 = tab[:, 0], tab[:, 1]
         x1, y1 = tab[:, 2], tab[:, 3]
@@ -168,7 +184,7 @@ class Renderer:
         mi = stab[:, 6].astype(jnp.int32)
 
         # pixel NDC centers per fragment (pure index math, no gathers)
-        n_idx = jnp.arange(N, dtype=jnp.int32)
+        n_idx = jnp.arange(B * N, dtype=jnp.int32) % N
         pix = n_idx // K
         row = pix // Ws
         col = pix % Ws
@@ -244,11 +260,11 @@ class Renderer:
         alpha = jnp.where(sigma == 0.0, hard_a, soft_a) * valid * face_alpha
 
         img = layered_blend(
-            colors.reshape(Hs, Ws, K, 3), alpha.reshape(Hs, Ws, K),
+            colors.reshape(B, Hs, Ws, K, 3), alpha.reshape(B, Hs, Ws, K),
             cfg.background_color,
         )
         if cfg.supersample > 1:
-            img = _avg_pool_2d(img, cfg.supersample)
+            img = jax.vmap(lambda im: _avg_pool_2d(im, cfg.supersample))(img)
         return img
 
     def render_view(self, scene: MeshScene, R, T, sigma=None):
@@ -284,6 +300,13 @@ class Renderer:
             p2f = rasterize_pallas_batched(
                 packed, jax.lax.stop_gradient(blur), rcfg
             )
+            if cfg.shading == "raw":
+                # one flat fragment stream across views: the texel-gradient
+                # pipeline runs once, not per view
+                shade = lambda g, p: self._shade_fused_batched(scene, g, p, sigma)
+                if REMAT_SHADING:
+                    shade = jax.checkpoint(shade)
+                return shade(geom_b, p2f)
             shade = lambda g, p, r: self._shade_from_p2f(scene, g, p, r, sigma)
             if REMAT_SHADING:
                 shade = jax.checkpoint(shade)
