@@ -1,0 +1,142 @@
+"""Pallas TPU kernel: post-sort windowed segment sums for texel gradients.
+
+Replaces the XLA tail of the texel-gradient pipeline (bincount + 12-channel
+cumsum + per-texel boundary gather — ~98 ms/step on the DTU workload) with
+one kernel over the SORTED fragment stream:
+
+- the caller sorts fragments by base texel id (XLA lax.sort, kept outside),
+- the kernel walks the sorted stream in blocks; each sub-chunk of CH rows
+  touches only the aligned id windows [w*W, (w+1)*W) its ids span (sorted
+  -> typically ONE window),
+- per (sub-chunk, window): a (W, CH) one-hot of ids vs the window's iota is
+  contracted on the MXU against the 12 per-corner weighted gradient rows
+  (12, CH), yielding the window's (W, 12) contribution,
+- the contribution is read-modify-write accumulated into the (R_pad, 12)
+  output in HBM via async DMA — safe because the TPU grid is sequential.
+
+The consumer applies the 4-offset bilinear stencil to the (R, 12) result
+(render/meshes.py:_sample_quad_bwd).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+W = 512        # output window width (texel ids)
+CH = 1024      # sorted rows per one-hot matmul
+SUB = 8        # sub-chunks per program
+
+
+def _kernel(win_ref, s_ref, wx_ref, wy_ref, r_ref, g_ref, b_ref, zeros_ref,
+            out_ref, scratch, sem_in, sem_out):
+    del zeros_ref  # aliased with out_ref (provides the zero init)
+    for sub in range(SUB):
+        sl = slice(sub, sub + 1)
+        s_blk = s_ref[sl, :]                      # (1, CH) int32
+        wx = wx_ref[sl, :]
+        wy = wy_ref[sl, :]
+        r = r_ref[sl, :]
+        g = g_ref[sl, :]
+        b = b_ref[sl, :]
+        w00 = (1.0 - wx) * (1.0 - wy)
+        w01 = wx * (1.0 - wy)
+        w10 = (1.0 - wx) * wy
+        w11 = wx * wy
+        zero4 = jnp.zeros((4, r.shape[-1]), jnp.float32)
+        updT = jnp.concatenate(
+            [
+                r * w00, g * w00, b * w00,
+                r * w01, g * w01, b * w01,
+                r * w10, g * w10, b * w10,
+                r * w11, g * w11, b * w11,
+                zero4,  # pad channel rows 12 -> 16 (sublane-aligned DMA)
+            ],
+            axis=0,
+        )  # (16, CH)
+
+        w0 = win_ref[0, sub, 0]
+        n_win = win_ref[0, sub, 1]
+
+        def win_body(w, _):
+            base = (w0 + w) * W
+            iota = jax.lax.broadcasted_iota(jnp.int32, (W, CH), 0) + base
+            oh = (iota == s_blk).astype(jnp.float32)  # (W, CH)
+            contrib = jax.lax.dot_general(
+                updT, oh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (16, W)
+            cp_in = pltpu.make_async_copy(
+                out_ref.at[:, pl.ds(base, W)], scratch, sem_in
+            )
+            cp_in.start()
+            cp_in.wait()
+            scratch[:] = scratch[:] + contrib
+            cp_out = pltpu.make_async_copy(
+                scratch, out_ref.at[:, pl.ds(base, W)], sem_out
+            )
+            cp_out.start()
+            cp_out.wait()
+            return 0
+
+        jax.lax.fori_loop(0, n_win, win_body, 0)
+
+
+def quad_corner_segment_sums(s, wx, wy, gcols, R):
+    """Per-base-id sums of the 4 bilinear-corner weighted gradients.
+
+    s: (N,) int32 base texel ids, SORTED ascending, values in [0, R);
+    wx, wy: (N,) f32; gcols: tuple of 3 (N,) f32 gradient channels.
+    Returns (12, R) f32: rows [c*3:(c+1)*3] hold the RGB sums weighted by
+    corner c's bilinear weight, ordered (00, 01, 10, 11). (Transposed so
+    the kernel's per-window DMA slices run along the 128-aligned lane
+    dimension.)"""
+    N = s.shape[0]
+    blk = SUB * CH
+    n_blk = max(-(-N // blk), 1)
+    pad = n_blk * blk - N
+    if pad:
+        # pad ids with the last (max) id and zero payloads: lands in an
+        # already-touched window, contributes exactly zero
+        s = jnp.concatenate([s, jnp.broadcast_to(s[-1:], (pad,))])
+        zero = jnp.zeros((pad,), jnp.float32)
+        wx = jnp.concatenate([wx, zero])
+        wy = jnp.concatenate([wy, zero])
+        gcols = tuple(jnp.concatenate([c, zero]) for c in gcols)
+
+    R_pad = -(-R // W) * W
+    # blocks are (SUB, CH): one sub-chunk per sublane row
+    s_mat = s.reshape(n_blk * SUB, CH)
+    # per-sub-chunk window ranges (SMEM scalars, computed in XLA)
+    w0 = s_mat[:, 0].reshape(n_blk, SUB) // W
+    n_win = s_mat[:, -1].reshape(n_blk, SUB) // W - w0 + 1
+    win_info = jnp.stack([w0, n_win], axis=-1).astype(jnp.int32)
+
+    args = [s_mat] + [
+        a.reshape(n_blk * SUB, CH)
+        for a in (wx, wy) + tuple(gcols)
+    ]
+    blk_spec = pl.BlockSpec((SUB, CH), lambda i: (i, 0))
+    out = pl.pallas_call(
+        _kernel,
+        grid=(n_blk,),
+        in_specs=[
+            pl.BlockSpec((1, SUB, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ] + [blk_spec] * 6 + [pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((16, R_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((16, W), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        input_output_aliases={7: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(win_info, *args, jnp.zeros((16, R_pad), jnp.float32))
+    return out[:12, :R]

@@ -22,7 +22,27 @@ import jax.numpy as jnp
 #           4-shift stencil; forward is ONE (N, 12) quad-table gather
 #   sort    legacy: 4 corner ids concatenated into one 4N-row sort pipeline
 #   scatter plain XLA scatter-add (correctness reference)
-_TEXEL_MODE = os.environ.get("DBW_TEXEL", "quad").lower()
+# Default 'auto': the Pallas kernel (quadk) on TPU, the XLA pipeline (quad)
+# on CPU (the kernel's DMA/RMW semantics need real hardware).
+_TEXEL_MODE = os.environ.get("DBW_TEXEL", "auto").lower()
+
+
+def _texel_mode():
+    if _TEXEL_MODE != "auto":
+        return _TEXEL_MODE
+    return "quad" if jax.default_backend() == "cpu" else "quadk"
+
+# Quad-table dtype knob (DBW_TEXEL_QUAD_DTYPE=bf16 halves the forward
+# gather's bytes). Measured on v5e: NO speedup — the (N, 12) row gather is
+# bound by per-row gather overhead, not bandwidth — so f32 stays the
+# default for full gradient precision.
+_QUAD_DTYPE_ENV = os.environ.get("DBW_TEXEL_QUAD_DTYPE", "f32").lower()
+
+
+def _quad_dtype():
+    if _QUAD_DTYPE_ENV in ("bf16", "bfloat16"):
+        return jnp.bfloat16
+    return jnp.float32
 
 
 class TextureAtlas(NamedTuple):
@@ -180,7 +200,8 @@ def _sample_quad(maps_flat, id00, wx, wy, TW):
     maps_flat: (R, C); id00: (...,) i32 base-corner texel id; wx, wy: (...,)
     f32 bilinear offsets in [0, 1]. Returns (..., C)."""
     C = maps_flat.shape[-1]
-    q = _quad_table(maps_flat, TW)[id00]  # (..., 4C)
+    table = _quad_table(maps_flat.astype(_quad_dtype()), TW)
+    q = table[id00].astype(jnp.float32)  # (..., 4C)
     out = (
         q[..., 0 * C:1 * C] * ((1 - wx) * (1 - wy))[..., None]
         + q[..., 1 * C:2 * C] * (wx * (1 - wy))[..., None]
@@ -214,24 +235,46 @@ def _sample_quad_bwd(TW, res, g):
     sorted_all = jax.lax.sort((ids,) + cols, num_keys=1)
     s = sorted_all[0]
     swx, swy = sorted_all[1], sorted_all[2]
-    sg = jnp.stack(sorted_all[3:], axis=-1)  # (N, C)
-    upd = jnp.concatenate(
-        [
-            sg * ((1 - swx) * (1 - swy))[:, None],
-            sg * (swx * (1 - swy))[:, None],
-            sg * ((1 - swx) * swy)[:, None],
-            sg * (swx * swy)[:, None],
-        ],
-        axis=1,
-    )  # (N, 4C)
-    cs = jnp.cumsum(upd, axis=0)
-    counts = jnp.bincount(s, length=R)
-    lastpos = jnp.cumsum(counts) - 1
-    total_to = jnp.where(
-        (lastpos >= 0)[:, None], cs[jnp.clip(lastpos, 0, N - 1)], 0.0
-    )
-    prev = jnp.concatenate([jnp.zeros((1, 4 * C), cs.dtype), total_to[:-1]], 0)
-    G = total_to - prev  # (R, 4C) per-base-id corner sums
+    if _texel_mode() == "quadk" and C == 3:
+        # Pallas windowed one-hot segment-sum kernel (TPU); output is
+        # channel-major (12, R) so the stencil shifts along the lane axis
+        from ..ops.segment_sum_pallas import quad_corner_segment_sums
+
+        G12 = quad_corner_segment_sums(s, swx, swy, sorted_all[3:6], R)
+
+        def shift12(A, k):  # A: (C, R) -> rows shifted down the texel axis
+            return jnp.concatenate(
+                [jnp.zeros((C, k), A.dtype), A[:, :R - k]], axis=1
+            )
+
+        d12 = (
+            G12[0 * C:1 * C]
+            + shift12(G12[1 * C:2 * C], 1)
+            + shift12(G12[2 * C:3 * C], TW)
+            + shift12(G12[3 * C:4 * C], TW + 1)
+        )
+        return d12.T.astype(dtype_token.dtype), None, None, None
+    else:
+        sg = jnp.stack(sorted_all[3:], axis=-1)  # (N, C)
+        upd = jnp.concatenate(
+            [
+                sg * ((1 - swx) * (1 - swy))[:, None],
+                sg * (swx * (1 - swy))[:, None],
+                sg * ((1 - swx) * swy)[:, None],
+                sg * (swx * swy)[:, None],
+            ],
+            axis=1,
+        )  # (N, 4C)
+        cs = jnp.cumsum(upd, axis=0)
+        counts = jnp.bincount(s, length=R)
+        lastpos = jnp.cumsum(counts) - 1
+        total_to = jnp.where(
+            (lastpos >= 0)[:, None], cs[jnp.clip(lastpos, 0, N - 1)], 0.0
+        )
+        prev = jnp.concatenate(
+            [jnp.zeros((1, 4 * C), cs.dtype), total_to[:-1]], 0
+        )
+        G = total_to - prev  # (R, 4C) per-base-id corner sums
 
     def shift_down(A, k):
         return jnp.concatenate([jnp.zeros((k, C), A.dtype), A[:R - k]], axis=0)
@@ -267,7 +310,7 @@ def sample_atlas_bilinear(maps, map_idx, uv, diff_uv=False):
         for k in range(4):
             out = out + maps_flat[ids[k]] * w[k][..., None]
         return out
-    if _TEXEL_MODE == "quad":
+    if _texel_mode() in ("quad", "quadk"):
         u = jnp.clip(uv[..., 0], 0.0, 1.0) * (TW - 1)
         v = (1.0 - jnp.clip(uv[..., 1], 0.0, 1.0)) * (TH - 1)
         x0 = jnp.floor(u)

@@ -432,3 +432,14 @@ class TestQuadTexelSampling:
             outs[mode] = np.asarray(g)
         np.testing.assert_allclose(outs["quad"], outs["scatter"], atol=1e-4)
         assert abs(outs["quad"].sum() - N * 3) < 1e-2
+
+    @pytest.mark.skipif(
+        jax.default_backend() == "cpu",
+        reason="quadk Pallas kernel needs TPU (DMA/RMW semantics)",
+    )
+    def test_quadk_kernel_matches_scatter(self):
+        maps, map_idx, uv = self._setup(seed=11, N=6000)
+        out_k, g_k = self._run("quadk", maps, map_idx, uv)
+        out_r, g_r = self._run("scatter", maps, map_idx, uv)
+        np.testing.assert_allclose(out_k, out_r, atol=1e-6)
+        np.testing.assert_allclose(g_k, g_r, rtol=2e-3, atol=1e-3)
