@@ -18,6 +18,9 @@ class MultiStepLR:
         self.milestones = sorted(milestones or [])
         if isinstance(gamma, (int, float)):
             gamma = [float(gamma)] * len(self.groups)
+        assert len(gamma) == len(self.groups), (
+            f"need one gamma per param group {self.groups}, got {gamma}"
+        )
         self.gamma = {g: float(gm) for g, gm in zip(self.groups, gamma)}
         self.warmup = warmup
 
