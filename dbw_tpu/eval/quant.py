@@ -24,6 +24,7 @@ def quantitative_eval(model, params, loader, hard_inference=True, lpips=None):
     lpips = lpips or LPIPSLoss(
         vgg=model.perceptual_loss.vgg if model.perceptual_loss else None
     )
+    lpips_col = lpips.label  # labels the random-VGG / uniform-head fallback
 
     phase = Phase.eval_phase(filter_transparent=True)
     scene, _, _ = model.build_scene(params, phase)
@@ -41,7 +42,10 @@ def quantitative_eval(model, params, loader, hard_inference=True, lpips=None):
             "mse": mse,
         }
 
-    meters = {k: AverageMeter() for k in ["L_tot", "L_rec", "PSNR", "SSIM", "LPIPS"]}
+    meters = {
+        k: AverageMeter()
+        for k in ["L_tot", "L_rec", "PSNR", "SSIM", lpips_col]
+    }
     key = jax.random.PRNGKey(0)
     for inp, labels in loader:
         imgs = jnp.asarray(inp["imgs"])
@@ -63,11 +67,14 @@ def quantitative_eval(model, params, loader, hard_inference=True, lpips=None):
         meters["L_rec"].update(rec_terms, N=n)
         meters["PSNR"].update(float(s["psnr"]), N=n)
         meters["SSIM"].update(float(s["ssim"]), N=n)
-        meters["LPIPS"].update(float(lpips(imgs, rec)), N=n)
+        meters[lpips_col].update(float(lpips(imgs, rec)), N=n)
 
     return OrderedDict(
         [("n_blocks", n_blocks)]
-        + [(k, meters[k].avg) for k in ["L_tot", "L_rec", "PSNR", "SSIM", "LPIPS"]]
+        + [
+            (k, meters[k].avg)
+            for k in ["L_tot", "L_rec", "PSNR", "SSIM", lpips_col]
+        ]
         + [(f"alpha{k}", float(a)) for k, a in enumerate(opacities)]
     )
 

@@ -202,6 +202,17 @@ class LPIPSLoss:
             d = np.load(lin_path)
             self.lins = [jnp.asarray(d[f"lin{i}"]).reshape(-1) for i in range(5)]
 
+    @property
+    def label(self):
+        """Feature-source label for eval outputs: the LPIPS column is only
+        comparable to published numbers with pretrained VGG + learned
+        linear heads; anything else is labeled explicitly."""
+        if not self.vgg.pretrained:
+            return "LPIPS_randvgg"
+        if self.lins is None:
+            return "LPIPS_uniform"
+        return "LPIPS"
+
     def __call__(self, imgs, rec, normalize=True):
         if normalize:  # [0,1] -> [-1,1] (lpips normalize=True semantics)
             imgs = imgs * 2.0 - 1.0
