@@ -179,3 +179,116 @@ class TestNerfstudioLoader:
         # val split empty (reference nerfstudio.py:88-89)
         dval = load_nerfstudio("val", (H, W), "scene", root=tmp_path / "ns")
         assert len(dval) == 0
+
+    def test_c2w_conversion_roundtrips_look_at(self):
+        """OpenGL c2w -> internal (R, T) must invert our own camera math:
+        build c2w from look_at_rotation, convert back, compare."""
+        import jax.numpy as jnp
+
+        from dbw_tpu.data.nerfstudio import _c2w_to_internal
+        from dbw_tpu.ops.rotations import look_at_rotation
+
+        R0, T0 = look_at_rotation(3.0, 20.0, jnp.asarray([35.0, -60.0]))
+        S = np.diag([-1.0, 1.0, -1.0])
+        for i in range(2):
+            R = np.asarray(R0[i], np.float64)
+            T = np.asarray(T0[i], np.float64)
+            w2c_gl = S @ R.T
+            t_gl = S @ T
+            c2w = np.eye(4)
+            c2w[:3, :3] = np.linalg.inv(w2c_gl)
+            c2w[:3, 3] = -np.linalg.inv(w2c_gl) @ t_gl
+            R_i, T_i = _c2w_to_internal(c2w)
+            np.testing.assert_allclose(R_i, R, atol=1e-5)
+            np.testing.assert_allclose(T_i, T, atol=1e-5)
+
+    def test_trained_pipeline_path_with_mock(self, tmp_path, monkeypatch):
+        """Reference-parity path (nerfstudio.py:36,81-86) with a mocked
+        nerfstudio package: cameras/images from the pipeline datamanager,
+        GT point cloud generated from the NeRF."""
+        import sys
+        import types
+
+        from dbw_tpu.data.nerfstudio import load_nerfstudio
+
+        H, W = 24, 32
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        rng = np.random.default_rng(0)
+        files = []
+        c2ws = []
+        for i in range(4):
+            p = img_dir / f"f{i}.png"
+            Image.fromarray(
+                (rng.random((H, W, 3)) * 255).astype(np.uint8)
+            ).save(p)
+            files.append(p)
+            c2w = np.eye(4)[:3]
+            c2w[:3, 3] = [0.0, 0.0, 2.0 + i]
+            c2ws.append(c2w)
+
+        class Cameras:
+            fx = np.array([40.0]); fy = np.array([41.0])
+            cx = np.array([W / 2]); cy = np.array([H / 2])
+            width = np.array([W]); height = np.array([H])
+            camera_to_worlds = np.stack(c2ws)
+
+        outputs = types.SimpleNamespace(
+            image_filenames=files, cameras=Cameras()
+        )
+        dataset = types.SimpleNamespace(_dataparser_outputs=outputs)
+        pipeline = types.SimpleNamespace(
+            datamanager=types.SimpleNamespace(
+                train_dataset=dataset, eval_dataset=dataset
+            )
+        )
+        calls = {}
+
+        def eval_setup(cfg_path):
+            calls["config"] = cfg_path
+            return None, pipeline, None
+
+        def generate_point_cloud(pipeline, bounding_box_min, bounding_box_max):
+            calls["bbox"] = (bounding_box_min, bounding_box_max)
+            return types.SimpleNamespace(points=rng.random((500, 3)))
+
+        ns = types.ModuleType("nerfstudio")
+        ns_utils = types.ModuleType("nerfstudio.utils")
+        ns_eval = types.ModuleType("nerfstudio.utils.eval_utils")
+        ns_eval.eval_setup = eval_setup
+        ns_exp = types.ModuleType("nerfstudio.exporter")
+        ns_exp_utils = types.ModuleType("nerfstudio.exporter.exporter_utils")
+        ns_exp_utils.generate_point_cloud = generate_point_cloud
+        for name, mod in [
+            ("nerfstudio", ns), ("nerfstudio.utils", ns_utils),
+            ("nerfstudio.utils.eval_utils", ns_eval),
+            ("nerfstudio.exporter", ns_exp),
+            ("nerfstudio.exporter.exporter_utils", ns_exp_utils),
+        ]:
+            monkeypatch.setitem(sys.modules, name, mod)
+
+        model_dir = tmp_path / "outputs" / "scene" / "nerfacto" / "run0"
+        model_dir.mkdir(parents=True)
+        (model_dir / "config.yml").write_text("x: 1")
+
+        # explicit model_dir
+        ds = load_nerfstudio("train", (H, W), "scene", root=tmp_path,
+                             model_dir=model_dir)
+        assert len(ds) == 4 and ds.imgs.shape == (4, H, W, 3)
+        assert len(ds.pc_gt) == 500
+        assert calls["bbox"] == ((-4.0,) * 3, (4.0,) * 3)
+        assert str(calls["config"]).endswith("config.yml")
+        # auto-discovery under <root>/outputs/<tag>
+        ds2 = load_nerfstudio("train", (H, W), "scene", root=tmp_path)
+        assert len(ds2) == 4
+        # test split: deterministic seeded shuffle (reference use_seed(len(tag)))
+        t1 = load_nerfstudio("test", (H, W), "scene", root=tmp_path)
+        t2 = load_nerfstudio("test", (H, W), "scene", root=tmp_path)
+        np.testing.assert_array_equal(t1.T, t2.T)
+        # the order must be exactly the reference's use_seed(len(tag)) shuffle
+        from dbw_tpu.utils.misc import use_seed
+
+        ids = list(range(4))
+        with use_seed(len("scene")):
+            np.random.shuffle(ids)
+        np.testing.assert_allclose(t1.T, ds.T[ids], atol=1e-6)
