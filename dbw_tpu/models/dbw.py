@@ -303,8 +303,12 @@ class BlocksWorld:
 
     def set_camera(self, K_ndc):
         """Install the dataset camera (first view's K, like the reference
-        dbw.py:204-208) and build the renderer family (dbw.py:131-143)."""
-        K = np.asarray(K_ndc)
+        dbw.py:204-208) and build the renderer family (dbw.py:131-143).
+
+        Accepts a traced K too: the scene-axis runner re-invokes this inside
+        its traced, scene-vmapped step so intrinsics become per-scene inputs
+        (parallel/scenes.py)."""
+        K = K_ndc if isinstance(K_ndc, jnp.ndarray) else np.asarray(K_ndc)
         self.camera = Camera(
             jnp.float32(K[0, 0]), jnp.float32(K[1, 1]),
             jnp.float32(K[0, 2]), jnp.float32(K[1, 2]),

@@ -9,8 +9,11 @@ the TPU-native replacements are:
   per ``seed`` mesh-axis slot, zero communication until the final
   min-train-loss argmin — reference multi_pipeline.sh runs these
   sequentially),
-- multi-scene batching composes the same way across hosts over DCN.
+- multi-scene batching: a ``scene`` mesh axis (one scene per device
+  group; scenes.py) — scenes never communicate, so across hosts this axis
+  rides DCN while the data-axis pmean stays on ICI.
 """
 
 from .mesh import make_mesh, factor_devices
 from .seeds import MultiSeedRunner, stack_params, pad_seeds, select_best_seed
+from .scenes import MultiSceneRunner, make_scene_mesh, stack_scene_params

@@ -1,0 +1,122 @@
+"""Scene-axis scale-out (SURVEY §5.8c): multiple scenes (e.g. DTU scans)
+optimized as ONE sharded program over a ("scene", "seed", "data") mesh.
+
+On a multi-host pod the scene axis is the natural DCN axis — scenes never
+communicate, so only the intra-scene data-axis gradient pmean rides ICI.
+The reference runs scans as separate jobs (scripts/*.sh); here a scan-sweep
+is a single compiled program.
+
+Per-scene state that the single-scene path treats as host constants —
+the camera intrinsics — becomes a traced input: the model's camera is a
+pytree of scalars, so `model.set_camera` is re-invoked INSIDE the traced,
+scene-vmapped function with the per-scene K (tracing-time Python, no
+recompile per scene), and restored after tracing."""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+_CAMERA_ATTRS = (
+    "camera", "renderer", "renderer_env", "renderer_viz", "renderer_light"
+)
+
+
+def make_scene_mesh(n_scene, n_seed=None, n_data=None, devices=None):
+    """("scene", "seed", "data") mesh; remaining devices factor over
+    seed (preferred: zero ICI traffic) then data."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    assert n % n_scene == 0, (n, n_scene)
+    per_scene = n // n_scene
+    if n_seed is None or n_data is None:
+        from .mesh import factor_devices
+
+        n_seed, n_data = factor_devices(per_scene)
+    assert n_seed * n_data == per_scene, (n_seed, n_data, per_scene)
+    arr = np.asarray(devices).reshape(n_scene, n_seed, n_data)
+    return Mesh(arr, ("scene", "seed", "data"))
+
+
+class MultiSceneRunner:
+    """Compiles and runs the scene x seed x data sharded train step.
+
+    Inputs per step (leading axes = mesh axes):
+      K:      (n_scene, 4, 4)   per-scene NDC intrinsics
+      params: (n_scene, S, ...) per-scene, per-seed SceneParams
+      opt:    same structure as params
+      imgs:   (n_scene, B, H, W, 3); R: (n_scene, B, 3, 3); T: (n_scene, B, 3)
+      keys:   (n_scene, S, 2)
+    Returns (params, opt, losses (n_scene, S))."""
+
+    def __init__(self, model, optimizer, mesh):
+        assert tuple(mesh.axis_names) == ("scene", "seed", "data"), mesh
+        self.model = model
+        self.optimizer = optimizer
+        self.mesh = mesh
+        self._step = self._build_step()
+
+    def _build_step(self):
+        model, optimizer = self.model, self.optimizer
+        mesh = self.mesh
+
+        def scene_fn(K, p_seeds, o_seeds, imgs, R, T, phase, lrs, keys):
+            snapshot = {a: getattr(model, a) for a in _CAMERA_ATTRS}
+            model.set_camera(K)
+            try:
+                def per_seed(p, o, k):
+                    def loss_fn(pp):
+                        losses = model.forward(pp, phase, imgs, R, T, k)
+                        return losses["total"], losses
+
+                    grads, losses = jax.grad(loss_fn, has_aux=True)(p)
+                    grads = jax.lax.pmean(grads, "data")
+                    loss_t = jax.lax.pmean(losses["total"], "data")
+                    updates, o = optimizer.update(grads, o, lrs)
+                    p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
+                    return p, o, loss_t
+
+                return jax.vmap(per_seed)(p_seeds, o_seeds, keys)
+            finally:
+                for a, v in snapshot.items():
+                    setattr(model, a, v)
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(
+                P("scene"),                        # K
+                P("scene", "seed"), P("scene", "seed"),    # params, opt
+                P("scene", "data"), P("scene", "data"), P("scene", "data"),
+                P(), P(),                          # phase, lrs
+                P("scene", "seed"),                # keys
+            ),
+            out_specs=(
+                P("scene", "seed"), P("scene", "seed"), P("scene", "seed")
+            ),
+            check_vma=False,
+        )
+        def sharded(K, params, opt, imgs, R, T, phase, lrs, keys):
+            return jax.vmap(
+                lambda k, p, o, im, r, t, ky: scene_fn(
+                    k, p, o, im, r, t, phase, lrs, ky
+                )
+            )(K, params, opt, imgs, R, T, keys)
+
+        return jax.jit(sharded, donate_argnums=(1, 2))
+
+    def step(self, K, params, opt, imgs, R, T, phase, lrs, keys):
+        return self._step(K, params, opt, imgs, R, T, phase, lrs, keys)
+
+
+def stack_scene_params(per_scene_params_lists):
+    """[[seed params...] per scene] -> pytree with (n_scene, S, ...) leaves."""
+    from .seeds import stack_params
+
+    return stack_params([stack_params(pl) for pl in per_scene_params_lists])

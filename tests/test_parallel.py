@@ -141,3 +141,94 @@ def test_multi_seed_trainer_e2e(tmp_path):
     assert (tmp_path / "seed_selection.tsv").exists()
     assert (tmp_path / "model.pkl").exists()
     assert len(losses) == 3
+
+
+@pytest.mark.slow
+def test_multi_scene_runner_2x2x2():
+    """SURVEY §5.8c: 2 scenes x 2 seeds x 2 data on the virtual 8-device
+    mesh — per-scene cameras are traced inputs; scene results must match
+    the unsharded per-scene computation."""
+    from dbw_tpu.models.dbw import BlocksWorld
+    from dbw_tpu.parallel.scenes import (
+        MultiSceneRunner,
+        make_scene_mesh,
+        stack_scene_params,
+    )
+    from dbw_tpu.parallel.seeds import stack_params
+    from dbw_tpu.train.optimizer import create_optimizer
+    from dbw_tpu.ops.rotations import look_at_rotation
+
+    model = BlocksWorld(
+        (16, 24),
+        mesh=dict(n_blocks=2, txt_size=16),
+        renderer=dict(faces_per_pixel=2),
+        rend_optim=dict(decouple_rendering=True),
+        loss=dict(rgb_weight=1, tv_weight=0.1),
+    )
+    # placeholder host camera (overridden per scene inside the runner)
+    K0 = np.zeros((4, 4), np.float32)
+    K0[0, 0] = K0[1, 1] = 2.0
+    model.set_camera(K0)
+
+    mesh = make_scene_mesh(2, n_seed=2, n_data=2)
+    assert dict(mesh.shape) == {"scene": 2, "seed": 2, "data": 2}
+    # default factorization prefers the seed axis
+    assert dict(make_scene_mesh(2).shape) == {"scene": 2, "seed": 4, "data": 1}
+
+    # two scenes with DIFFERENT intrinsics
+    Ks = []
+    for f in (1.8, 2.6):
+        K = np.zeros((4, 4), np.float32)
+        K[0, 0], K[1, 1] = f, f * 1.1
+        Ks.append(K)
+    Ks = jnp.asarray(np.stack(Ks))
+
+    seeds = [[1, 2], [3, 4]]
+    params = stack_scene_params(
+        [[model.init_params(seed=s) for s in row] for row in seeds]
+    )
+    cfg = {"training": {"optimizer": {"name": "adam", "lr": 1e-2}}}
+    opt = create_optimizer(cfg, model.init_params(seed=0))
+    opt_state = stack_scene_params(
+        [[opt.init(model.init_params(seed=s)) for s in row] for row in seeds]
+    )
+    runner = MultiSceneRunner(model, opt, mesh)
+
+    B = 4
+    R, T = look_at_rotation(3.0, 20.0, jnp.linspace(-30.0, 30.0, B))
+    imgs = jnp.stack([
+        jnp.full((B, 16, 24, 3), 0.3), jnp.full((B, 16, 24, 3), 0.7)
+    ])
+    Rb = jnp.stack([R, R])
+    Tb = jnp.stack([T, T])
+    phase = model.phase_for_epoch(0, training=True)
+    lrs = {"main": jnp.float32(1e-2), "texture": jnp.float32(1e-2)}
+    keys = jax.random.split(jax.random.PRNGKey(7), 4).reshape(2, 2, 2)
+
+    p10 = jax.tree_util.tree_map(lambda x: x[1, 0], params)  # pre-donation
+    new_params, new_opt, losses = runner.step(
+        Ks, params, opt_state, imgs, Rb, Tb, phase, lrs, keys
+    )
+    assert losses.shape == (2, 2)
+    assert np.isfinite(np.asarray(losses)).all()
+
+    # reference: unsharded computation for scene 1, seed 0
+    model.set_camera(np.asarray(Ks[1]))
+
+    def loss_fn(pp):
+        return model.forward(pp, phase, imgs[1], Rb[1], Tb[1], keys[1, 0])[
+            "total"
+        ]
+
+    grads = jax.grad(loss_fn)(p10)
+    o10 = opt.init(p10)
+    updates, _ = opt.update(grads, o10, lrs)
+    ref = jax.tree_util.tree_map(lambda a, u: a + u, p10, updates)
+    got = jax.tree_util.tree_map(lambda x: x[1, 0], new_params)
+    for name in ref._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)), np.asarray(getattr(ref, name)),
+            atol=2e-5, err_msg=name,
+        )
+    # different cameras must actually produce different scene losses
+    assert not np.allclose(np.asarray(losses)[0], np.asarray(losses)[1])
