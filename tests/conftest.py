@@ -21,4 +21,18 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the suite is compile-bound on CPU (single-core
+# hosts pay ~6 min of XLA compiles); with a warm cache it runs in ~2 min.
+# Artifacts are tiny (hundreds of KB per big graph) and keyed by content
+# hash + jax/XLA version, so a stale cache just misses. The prewarmed cache
+# is committed (tests/.jax_cache) for CI; delete it freely.
+_CACHE = Path(__file__).resolve().parent / ".jax_cache"
+jax.config.update("jax_compilation_cache_dir", str(_CACHE))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+try:
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+except Exception:  # older jax: flag absent
+    pass
+
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))

@@ -60,7 +60,7 @@ class TestVGG:
     def test_feature_shapes(self):
         vgg = VGG16Features(seed=0)
         x = jnp.zeros((1, 64, 64, 3))
-        feats = vgg(x, max_level=5)
+        feats = jax.jit(lambda xx: vgg(xx, max_level=5))(x)
         assert len(feats) == 5
         assert feats[0].shape == (1, 64, 64, 64)   # relu1_2
         assert feats[2].shape == (1, 16, 16, 256)  # relu3_3
@@ -70,21 +70,22 @@ class TestVGG:
         p = PerceptualLoss(vgg=VGG16Features(seed=0))
         img = jnp.asarray(np.random.default_rng(0).random((1, 32, 32, 3)),
                           jnp.float32)
-        assert float(p(img, img)) == pytest.approx(0.0, abs=1e-6)
+        pj = jax.jit(p)
+        assert float(pj(img, img)) == pytest.approx(0.0, abs=1e-6)
         other = jnp.asarray(np.random.default_rng(1).random((1, 32, 32, 3)),
                             jnp.float32)
-        assert float(p(img, other)) > 0
+        assert float(pj(img, other)) > 0
 
     def test_perceptual_grad_flows(self):
         p = PerceptualLoss(vgg=VGG16Features(seed=0))
         img = jnp.full((1, 32, 32, 3), 0.3)
 
-        g = jax.grad(lambda r: p(img, r))(jnp.full((1, 32, 32, 3), 0.7))
+        g = jax.jit(jax.grad(lambda r: p(img, r)))(jnp.full((1, 32, 32, 3), 0.7))
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).max()) > 0
 
     def test_lpips_runs(self):
-        l = LPIPSLoss(vgg=VGG16Features(seed=0))
+        l = jax.jit(LPIPSLoss(vgg=VGG16Features(seed=0)))
         a = jnp.zeros((1, 32, 32, 3))
         b = jnp.ones((1, 32, 32, 3))
         assert float(l(a, a)) == pytest.approx(0.0, abs=1e-6)

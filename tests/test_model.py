@@ -98,7 +98,7 @@ class TestPredict:
     def test_predict_shapes_and_range(self, model, params):
         R, T = cams(2)
         phase = model.phase_for_epoch(0)
-        rec, aux = model.predict(params, phase, R, T, key=jax.random.PRNGKey(0))
+        rec, aux = jax.jit(model.predict)(params, phase, R, T, key=jax.random.PRNGKey(0))
         assert rec.shape == (2, IMG[0], IMG[1], 3)
         rec = np.asarray(rec)
         assert np.isfinite(rec).all()
@@ -110,14 +110,14 @@ class TestPredict:
     def test_predict_synthetic(self, model, params):
         R, T = cams(2)
         phase = model.phase_for_epoch(0)
-        rec = model.predict_synthetic(params, phase, R, T)
+        rec = jax.jit(model.predict_synthetic)(params, phase, R, T)
         assert rec.shape == (2, IMG[0], IMG[1], 3)
         assert np.isfinite(np.asarray(rec)).all()
 
     def test_fine_phase_renders(self, model, params):
         R, T = cams(1)
         phase = model.phase_for_epoch(150)
-        rec, _ = model.predict(params, phase, R, T, key=jax.random.PRNGKey(0))
+        rec, _ = jax.jit(model.predict)(params, phase, R, T, key=jax.random.PRNGKey(0))
         assert np.isfinite(np.asarray(rec)).all()
 
 
@@ -126,7 +126,9 @@ class TestLosses:
         R, T = cams(2)
         phase = model.phase_for_epoch(0)
         imgs = jnp.zeros((2, IMG[0], IMG[1], 3)) + 0.5
-        losses = model.forward(params, phase, imgs, R, T, jax.random.PRNGKey(0))
+        losses = jax.jit(model.forward)(
+            params, phase, imgs, R, T, jax.random.PRNGKey(0)
+        )
         for k in ["rgb", "parsimony", "tv", "overlap", "total"]:
             assert k in losses and np.isfinite(float(losses[k])), k
         assert float(losses["total"]) == pytest.approx(
@@ -137,7 +139,9 @@ class TestLosses:
         R, T = cams(1)
         phase = model.phase_for_epoch(150)
         imgs = jnp.zeros((1, IMG[0], IMG[1], 3)) + 0.5
-        losses = model.forward(params, phase, imgs, R, T, jax.random.PRNGKey(0))
+        losses = jax.jit(model.forward)(
+            params, phase, imgs, R, T, jax.random.PRNGKey(0)
+        )
         assert float(losses["parsimony"]) == 0.0
         assert float(losses["overlap"]) == 0.0
 
@@ -151,7 +155,7 @@ class TestLosses:
                 "total"
             ]
 
-        grads = jax.grad(loss_fn)(params)
+        grads = jax.jit(jax.grad(loss_fn))(params)
         for name, g in grads._asdict().items():
             g = np.asarray(g)
             assert np.isfinite(g).all(), f"{name} grad not finite"
@@ -291,6 +295,8 @@ class TestPerceptualFlavor:
         phase = m.phase_for_epoch(0, training=True)
         R, T = cams(2)
         imgs = jnp.full((2,) + IMG + (3,), 0.5, jnp.float32)
-        losses = m.forward(params, phase, imgs, R, T, jax.random.PRNGKey(0))
+        losses = jax.jit(m.forward)(
+            params, phase, imgs, R, T, jax.random.PRNGKey(0)
+        )
         assert "perceptual" in losses
         assert np.isfinite(float(losses["total"]))

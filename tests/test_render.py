@@ -284,9 +284,10 @@ class TestGradients:
             img = rend.render_view(scene, EYE, ZERO)
             return img[..., 3].mean()  # coverage changes with translation
 
-        g = jax.grad(f)(jnp.float32(0.05))
+        fj = jax.jit(f)
+        g = jax.jit(jax.grad(f))(jnp.float32(0.05))
         eps = 1e-3
-        fd = (f(jnp.float32(0.05 + eps)) - f(jnp.float32(0.05 - eps))) / (2 * eps)
+        fd = (fj(jnp.float32(0.05 + eps)) - fj(jnp.float32(0.05 - eps))) / (2 * eps)
         assert np.isfinite(g)
         assert g == pytest.approx(float(fd), rel=0.2, abs=1e-4)
 
@@ -300,7 +301,7 @@ class TestGradients:
             img = rend.render_view(s, EYE, ZERO)
             return ((img[..., :3] - 0.5) ** 2).mean()
 
-        g = jax.grad(f)(scene.atlas.maps)
+        g = jax.jit(jax.grad(f))(scene.atlas.maps)
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).max()) > 0
 
@@ -316,7 +317,7 @@ class TestGradients:
             img = rend.render_view(scene, EYE, ZERO)
             return img[..., 3].mean()
 
-        g = jax.grad(f)(jnp.float32(0.5))
+        g = jax.jit(jax.grad(f))(jnp.float32(0.5))
         assert np.isfinite(g) and g > 0
 
 
@@ -333,8 +334,8 @@ class TestRendererModes:
             ),
             cam,
         )
-        hard = np.asarray(r1.render_view(scene, EYE, ZERO))
-        aa = np.asarray(r4.render_view(scene, EYE, ZERO))
+        hard = np.asarray(jax.jit(r1.render_view)(scene, EYE, ZERO))
+        aa = np.asarray(jax.jit(r4.render_view)(scene, EYE, ZERO))
         assert hard.shape == aa.shape == (16, 16, 4)
         # AA must produce fractional alphas on the boundary
         fractional = ((aa[..., 3] > 0.01) & (aa[..., 3] < 0.99)).sum()
@@ -349,7 +350,7 @@ class TestRendererModes:
         )
         R = jnp.broadcast_to(EYE, (3, 3, 3))
         T = jnp.broadcast_to(ZERO, (3, 3))
-        out = rend.render(scene, R, T)
+        out = jax.jit(rend.render)(scene, R, T)
         assert out.shape == (3, 8, 8, 4)
 
 
@@ -381,7 +382,7 @@ class TestQuadTexelSampling:
                 out = sample_atlas_bilinear(m, map_idx, uv)
                 return (out * jnp.arange(1.0, 4.0)).sum(), out
 
-            (loss, out), grads = jax.value_and_grad(f, has_aux=True)(maps)
+            (loss, out), grads = jax.jit(jax.value_and_grad(f, has_aux=True))(maps)
             return np.asarray(out), np.asarray(grads)
         finally:
             mm._TEXEL_MODE = old
@@ -424,9 +425,9 @@ class TestQuadTexelSampling:
             old = mm._TEXEL_MODE
             mm._TEXEL_MODE = mode
             try:
-                g = jax.grad(
+                g = jax.jit(jax.grad(
                     lambda m: sample_atlas_bilinear(m, map_idx, uv).sum()
-                )(maps)
+                ))(maps)
             finally:
                 mm._TEXEL_MODE = old
             outs[mode] = np.asarray(g)

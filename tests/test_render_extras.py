@@ -106,15 +106,23 @@ class TestFusedPathEquivalence:
             rcfg = cfg.raster_config()
             geom = project_faces(scene.verts, scene.faces, EYE, ZERO, fov_cam())
             sig, blur = rend._sigma_blur(None)
-            p2f = rasterize(geom, blur, rcfg)
+            p2f = jax.jit(rasterize, static_argnums=2)(geom, blur, rcfg)
 
-            fused = rend._shade_fused(scene, geom, p2f, sig)
+            fused = jax.jit(rend._shade_fused)(scene, geom, p2f, sig)
 
-            frags = interpolate_fragments(p2f, geom, rcfg, detach_bary=detach)
-            colors = shade_raw(frags, scene)
-            alpha = fragment_alpha(frags, sig, clip_inside=cfg.clip_inside)
-            alpha = alpha * scene.faces_alpha[jnp.maximum(frags.pix_to_face, 0)]
-            modular = layered_blend(colors, alpha, cfg.background_color)
+            @jax.jit
+            def modular_fn(scene, geom, p2f, sig):
+                frags = interpolate_fragments(
+                    p2f, geom, rcfg, detach_bary=detach
+                )
+                colors = shade_raw(frags, scene)
+                alpha = fragment_alpha(frags, sig, clip_inside=cfg.clip_inside)
+                alpha = alpha * scene.faces_alpha[
+                    jnp.maximum(frags.pix_to_face, 0)
+                ]
+                return layered_blend(colors, alpha, cfg.background_color)
+
+            modular = modular_fn(scene, geom, p2f, sig)
 
             np.testing.assert_allclose(
                 np.asarray(fused), np.asarray(modular), atol=2e-5,
