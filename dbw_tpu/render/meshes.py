@@ -218,6 +218,12 @@ def _sample_quad_fwd(maps_flat, id00, wx, wy, TW):
 
 
 def _sample_quad_bwd(TW, res, g):
+    id00, wx, wy, R, dtype_token = res
+    d = _quad_maps_grad(TW, id00, wx, wy, g, R, dtype_token.dtype)
+    return d, None, None, None
+
+
+def _quad_maps_grad(TW, id00, wx, wy, g, R, out_dtype):
     """d_maps via ONE base-id sort + 12-channel segment sum + 4-shift stencil.
 
     The legacy pipeline sorts 4N concatenated corner rows; here the 4 corner
@@ -225,7 +231,6 @@ def _sample_quad_bwd(TW, res, g):
     base id t, so one N-row sort (payloads: wx, wy, g) + per-base segment
     sums of the 4 weighted products G_k, then
     d_maps[t] = G0[t] + G1[t-1] + G2[t-TW] + G3[t-TW-1] densely."""
-    id00, wx, wy, R, dtype_token = res
     C = g.shape[-1]
     N = id00.size
     ids = id00.reshape(N)
@@ -253,7 +258,7 @@ def _sample_quad_bwd(TW, res, g):
             + shift12(G12[2 * C:3 * C], TW)
             + shift12(G12[3 * C:4 * C], TW + 1)
         )
-        return d12.T.astype(dtype_token.dtype), None, None, None
+        return d12.T.astype(out_dtype)
     else:
         sg = jnp.stack(sorted_all[3:], axis=-1)  # (N, C)
         upd = jnp.concatenate(
@@ -285,10 +290,57 @@ def _sample_quad_bwd(TW, res, g):
         + shift_down(G[:, 2 * C:3 * C], TW)
         + shift_down(G[:, 3 * C:4 * C], TW + 1)
     )
-    return d.astype(dtype_token.dtype), None, None, None
+    return d.astype(out_dtype)
 
 
 _sample_quad.defvjp(_sample_quad_fwd, _sample_quad_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _sample_quad_diff(maps_flat, id00, wx, wy, TW, TH):
+    """Quad-table bilinear sample, differentiable in maps AND (wx, wy) —
+    the diff_uv path (env pass: ground pose learns through texture
+    sampling). d_maps shares the sort+stencil machinery; d_wx/d_wy are
+    analytic from a backward regather of the quad rows."""
+    return _sample_quad.__wrapped__(maps_flat, id00, wx, wy, TW)
+
+
+def _sample_quad_diff_fwd(maps_flat, id00, wx, wy, TW, TH):
+    out = _sample_quad_diff(maps_flat, id00, wx, wy, TW, TH)
+    return out, (maps_flat, id00, wx, wy)
+
+
+def _sample_quad_diff_bwd(TW, TH, res, g):
+    maps_flat, id00, wx, wy = res
+    R = maps_flat.shape[0]
+    C = maps_flat.shape[-1]
+    d_maps = _quad_maps_grad(
+        TW, id00, jax.lax.stop_gradient(wx), jax.lax.stop_gradient(wy),
+        g, R, maps_flat.dtype,
+    )
+    q = _quad_table(maps_flat.astype(_quad_dtype()), TW)[id00].astype(
+        jnp.float32
+    )
+    q00, q01 = q[..., 0 * C:1 * C], q[..., 1 * C:2 * C]
+    q10, q11 = q[..., 2 * C:3 * C], q[..., 3 * C:4 * C]
+    d_wx = (
+        g * ((q01 - q00) * (1 - wy)[..., None] + (q11 - q10) * wy[..., None])
+    ).sum(-1)
+    d_wy = (
+        g * ((q10 - q00) * (1 - wx)[..., None] + (q11 - q01) * wx[..., None])
+    ).sum(-1)
+    # at the exact atlas edge (x0 == TW-1 / y0 == TH-1, reachable only with
+    # uv == 0/1 exactly) the +1/+TW quad neighbors are out-of-face texels
+    # with weight 0; the correct subgradient there is 0, not the neighbor
+    # difference
+    x_edge = (id00 % TW) == (TW - 1)
+    y_edge = ((id00 // TW) % TH) == (TH - 1)
+    d_wx = jnp.where(x_edge, 0.0, d_wx)
+    d_wy = jnp.where(y_edge, 0.0, d_wy)
+    return d_maps, None, d_wx, d_wy
+
+
+_sample_quad_diff.defvjp(_sample_quad_diff_fwd, _sample_quad_diff_bwd)
 
 
 def sample_atlas_bilinear(maps, map_idx, uv, diff_uv=False):
@@ -304,25 +356,27 @@ def sample_atlas_bilinear(maps, map_idx, uv, diff_uv=False):
     learns through texture sampling)."""
     M, TH, TW = maps.shape[0], maps.shape[1], maps.shape[2]
     maps_flat = maps.reshape(M * TH * TW, maps.shape[-1])
-    if diff_uv:
-        ids, w = _bilinear_corners(map_idx, uv, TH, TW)
-        out = 0.0
-        for k in range(4):
-            out = out + maps_flat[ids[k]] * w[k][..., None]
-        return out
     if _texel_mode() in ("quad", "quadk"):
         u = jnp.clip(uv[..., 0], 0.0, 1.0) * (TW - 1)
         v = (1.0 - jnp.clip(uv[..., 1], 0.0, 1.0)) * (TH - 1)
-        x0 = jnp.floor(u)
-        y0 = jnp.floor(v)
-        wx = jax.lax.stop_gradient(u - x0)
-        wy = jax.lax.stop_gradient(v - y0)
+        x0 = jax.lax.stop_gradient(jnp.floor(u))
+        y0 = jax.lax.stop_gradient(jnp.floor(v))
         id00 = (
             map_idx * (TH * TW)
             + y0.astype(jnp.int32) * TW
             + x0.astype(jnp.int32)
         )
+        if diff_uv:
+            # wx/wy keep d/d_uv = scale (floor is piecewise-constant)
+            return _sample_quad_diff(maps_flat, id00, u - x0, v - y0, TW, TH)
+        wx = jax.lax.stop_gradient(u - x0)
+        wy = jax.lax.stop_gradient(v - y0)
         return _sample_quad(maps_flat, id00, wx, wy, TW)
     ids, w = _bilinear_corners(map_idx, uv, TH, TW)
+    if diff_uv:
+        out = 0.0
+        for k in range(4):
+            out = out + maps_flat[ids[k]] * w[k][..., None]
+        return out
     w_sg = tuple(jax.lax.stop_gradient(wk) for wk in w)
     return _sample_flat(maps_flat, ids, w_sg)

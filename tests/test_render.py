@@ -444,3 +444,38 @@ class TestQuadTexelSampling:
         out_r, g_r = self._run("scatter", maps, map_idx, uv)
         np.testing.assert_allclose(out_k, out_r, atol=1e-6)
         np.testing.assert_allclose(g_k, g_r, rtol=2e-3, atol=1e-3)
+
+    def test_diff_uv_quad_matches_legacy(self):
+        """Env-pass path (diff_uv=True): quad path must match the legacy
+        corner-gather loop in values AND both maps and uv gradients."""
+        from dbw_tpu.render.meshes import sample_atlas_bilinear
+        import dbw_tpu.render.meshes as mm
+
+        rng = np.random.default_rng(5)
+        maps = jnp.asarray(rng.random((2, 8, 9, 3)), jnp.float32)
+        mi = jnp.asarray(rng.integers(0, 2, (300,)), jnp.int32)
+        uv = jnp.asarray(rng.random((300, 2)), jnp.float32)
+        uv = uv.at[0].set(jnp.array([1.0, 1.0]))
+        uv = uv.at[1].set(jnp.array([0.0, 0.0]))
+
+        def f(m, u):
+            out = sample_atlas_bilinear(m, mi, u, diff_uv=True)
+            return (out * jnp.arange(1.0, 4.0)).sum()
+
+        grads = {}
+        for mode in ("quad", "scatter"):
+            old = mm._TEXEL_MODE
+            mm._TEXEL_MODE = mode
+            try:
+                v = float(f(maps, uv))
+                gm, guv = jax.jit(jax.grad(f, argnums=(0, 1)))(maps, uv)
+            finally:
+                mm._TEXEL_MODE = old
+            grads[mode] = (v, np.asarray(gm), np.asarray(guv))
+        assert grads["quad"][0] == pytest.approx(grads["scatter"][0], rel=1e-6)
+        np.testing.assert_allclose(grads["quad"][1], grads["scatter"][1],
+                                   atol=1e-4)
+        # uv grads equal except the measure-zero exact-boundary rows where
+        # the subgradient convention differs; compare the interior rows
+        np.testing.assert_allclose(grads["quad"][2][2:],
+                                   grads["scatter"][2][2:], atol=2e-5)
