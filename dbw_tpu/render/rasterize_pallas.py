@@ -150,36 +150,53 @@ def _kernel(scalars_ref, faces_ref, out_ref, keys_ref, idxs_ref, *, K, KS,
             z = b0 * z0 + b1 * z1 + b2 * z2
 
             ok = covered & (fa[9:10, :] > 0.5) & (z > z_clip)
-            chunk_keys = jnp.where(ok, z, BIG)  # (PT, CHUNK)
-            chunk_fidx = base + lane
 
-            def insert(_, carry):
-                ck, keys, idxs = carry
-                cmin = jnp.min(ck, axis=-1, keepdims=True)
-                cml = jnp.min(
-                    jnp.where(ck == cmin, lane, BIG_I), axis=-1, keepdims=True
-                )
-                cidx = jnp.min(
-                    jnp.where(lane == cml, chunk_fidx, BIG_I),
-                    axis=-1, keepdims=True,
-                )
-                smax = jnp.max(keys, axis=-1, keepdims=True)
-                sml = jnp.min(
-                    jnp.where(keys == smax, slot_iota, BIG_I),
-                    axis=-1, keepdims=True,
-                )
-                take = cmin < smax
-                at_slot = slot_iota == sml
-                keys = jnp.where(take & at_slot, cmin, keys)
-                idxs = jnp.where(take & at_slot, cidx, idxs)
-                ck = jnp.where(take & (lane == cml), BIG, ck)
-                return ck, keys, idxs
+            # blur-inflated bboxes often overlap the tile while covering no
+            # pixel at all — skip the K-pass insert loop entirely then
+            @pl.when(jnp.any(ok))
+            def _():
+                chunk_keys = jnp.where(ok, z, BIG)  # (PT, CHUNK)
+                chunk_fidx = base + lane
 
-            _, keys, idxs = jax.lax.fori_loop(
-                0, K, insert, (chunk_keys, keys_ref[:], idxs_ref[:])
-            )
-            keys_ref[:] = keys
-            idxs_ref[:] = idxs
+                def insert_cond(carry):
+                    i, ck, keys, idxs = carry
+                    # stop early once no pixel has a candidate that could
+                    # still enter its top-K (typical chunks insert 2-4
+                    # faces, not K)
+                    return (i < K) & (jnp.min(ck) < BIG)
+
+                def insert(carry):
+                    i, ck, keys, idxs = carry
+                    cmin = jnp.min(ck, axis=-1, keepdims=True)
+                    cml = jnp.min(
+                        jnp.where(ck == cmin, lane, BIG_I),
+                        axis=-1, keepdims=True,
+                    )
+                    cidx = jnp.min(
+                        jnp.where(lane == cml, chunk_fidx, BIG_I),
+                        axis=-1, keepdims=True,
+                    )
+                    smax = jnp.max(keys, axis=-1, keepdims=True)
+                    sml = jnp.min(
+                        jnp.where(keys == smax, slot_iota, BIG_I),
+                        axis=-1, keepdims=True,
+                    )
+                    take = cmin < smax
+                    at_slot = slot_iota == sml
+                    keys = jnp.where(take & at_slot, cmin, keys)
+                    idxs = jnp.where(take & at_slot, cidx, idxs)
+                    ck = jnp.where(take & (lane == cml), BIG, ck)
+                    # a pixel whose best candidate cannot beat its worst
+                    # slot is DONE for this chunk: blank its whole row
+                    ck = jnp.where(take, ck, BIG)
+                    return i + 1, ck, keys, idxs
+
+                _, _, keys, idxs = jax.lax.while_loop(
+                    insert_cond, insert,
+                    (0, chunk_keys, keys_ref[:], idxs_ref[:]),
+                )
+                keys_ref[:] = keys
+                idxs_ref[:] = idxs
 
     jax.lax.fori_loop(0, n_chunks, process_chunk, None)
 
