@@ -28,12 +28,40 @@ from ..parallel.seeds import stack_params, unstack_params
 
 
 class MultiSeedTrainer:
-    """Trains S seeds of one scene simultaneously; selects min train loss."""
+    """Trains S seeds of one scene simultaneously; selects min train loss.
+
+    On a multi-device host the seed axis is sharded over the mesh: the
+    requested seeds are padded to the mesh's seed-axis size with duplicates
+    (``parallel.seeds.pad_seeds``) that are masked out of selection, and
+    the stacked params/opt get a ``NamedSharding`` over their leading axis —
+    XLA then runs each seed's optimization on its own device group with
+    zero cross-seed traffic."""
 
     def __init__(self, cfg, run_dir, seeds):
         self.run_dir = path_mkdir(run_dir)
         self.cfg = cfg
         self.seeds = list(seeds)
+        self.n_valid = len(self.seeds)
+        self._shard = None
+        if len(jax.devices()) > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import make_mesh
+            from ..parallel.seeds import pad_seeds
+
+            mesh = make_mesh(n_seeds=self.n_valid)
+            slots = mesh.shape["seed"] * mesh.shape["data"]
+            # flatten the whole mesh onto the seed axis: each padded seed
+            # slot owns one device (duplicates are masked at selection)
+            self.seeds, self.n_valid = pad_seeds(self.seeds, slots)
+            flat = Mesh(
+                np.asarray(mesh.devices).reshape(slots), ("seed",)
+            )
+            self._shard = NamedSharding(flat, P("seed"))
+            print_log(
+                f"[multi-seed] sharding {self.n_valid} seeds over "
+                f"{slots} devices ({slots - self.n_valid} padded slots)"
+            )
         S = len(self.seeds)
         self.train_loader, self.val_loader, self.test_loader = (
             create_train_val_test_loader(cfg)
@@ -50,6 +78,9 @@ class MultiSeedTrainer:
         self.opt_state = stack_params(
             [self.optimizer.init(p) for p in params_list]
         )
+        if self._shard is not None:
+            self.params = jax.device_put(self.params, self._shard)
+            self.opt_state = jax.device_put(self.opt_state, self._shard)
         self.scheduler = create_scheduler(cfg, self.optimizer.base_lrs)
         self._key = jax.random.PRNGKey(max(self.seeds) + 1)
 
@@ -103,12 +134,17 @@ class MultiSeedTrainer:
                 )
 
         final_losses = loss_sums / max(n_steps, 1)
-        best = int(np.argmin(final_losses))
+        # padded duplicate-seed slots are excluded from selection
+        masked = np.where(
+            np.arange(len(self.seeds)) < self.n_valid, final_losses, np.inf
+        )
+        best = int(np.argmin(masked))
         print_log(
-            f"[multi-seed] final per-seed loss={final_losses.round(5).tolist()}"
+            f"[multi-seed] final per-seed loss="
+            f"{final_losses[: self.n_valid].round(5).tolist()}"
             f" -> auto-selected seed {self.seeds[best]} (min train loss)"
         )
-        for i, s in enumerate(self.seeds):
+        for i, s in enumerate(self.seeds[: self.n_valid]):
             p_i = unstack_params(self.params, i)
             o_i = unstack_params(self.opt_state, i)
             save_checkpoint(
@@ -123,9 +159,9 @@ class MultiSeedTrainer:
         )
         with open(self.run_dir / "seed_selection.tsv", "w") as f:
             f.write("seed\tfinal_train_loss\tselected\n")
-            for i, s in enumerate(self.seeds):
+            for i, s in enumerate(self.seeds[: self.n_valid]):
                 f.write(f"{s}\t{final_losses[i]:.6f}\t{int(i == best)}\n")
-        return best_params, self.seeds[best], final_losses
+        return best_params, self.seeds[best], final_losses[: self.n_valid]
 
 
 def _pad(arr, bs):
