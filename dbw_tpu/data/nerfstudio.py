@@ -74,7 +74,8 @@ def _find_model_dir(root, tag, model_dir):
     return None
 
 
-def _load_from_pipeline(split, tag, model_dir, out_hw, n_pc_points=100_000):
+def _load_from_pipeline(split, tag, model_dir, out_hw, downscale_factor=1,
+                        n_pc_points=100_000):
     """Reference-parity path: trained nerfacto pipeline supplies cameras,
     image paths and the NeRF-generated GT point cloud."""
     from nerfstudio.utils.eval_utils import eval_setup
@@ -97,7 +98,7 @@ def _load_from_pipeline(split, tag, model_dir, out_hw, n_pc_points=100_000):
     cy = float(np.asarray(cams.cy).reshape(-1)[0])
     W = int(np.asarray(cams.width).reshape(-1)[0])
     H = int(np.asarray(cams.height).reshape(-1)[0])
-    out_hw = out_hw or (H, W)
+    out_hw = out_hw or (H // downscale_factor, W // downscale_factor)
     K = _ndc_K(fx, fy, cx, cy, W, H)
 
     c2ws = np.asarray(cams.camera_to_worlds)  # (N, 3, 4)
@@ -149,7 +150,9 @@ def load_nerfstudio(split, img_size=None, tag="", downscale_factor=1,
     found = _find_model_dir(root, tag, model_dir)
     if found is not None:
         try:
-            return _load_from_pipeline(split, tag, found, img_size)
+            return _load_from_pipeline(
+                split, tag, found, img_size, downscale_factor
+            )
         except ImportError:
             print_log(
                 f"nerfstudio package not installed: found trained run "

@@ -188,8 +188,12 @@ class BlocksWorld:
             # honor the configured flavor; reference defaults to LPIPS
             # (src/model/dbw.py:155,163 + registry src/model/loss.py:12-25)
             shared_vgg = vgg or VGG16Features.from_env_or_random(path=vgg_weights_path)
-            cls = {"lpips": LPIPSLoss, "perceptual": PerceptualLoss}[self.perceptual_name]
-            self.perceptual_loss = cls(vgg=shared_vgg)
+            flavors = {"lpips": LPIPSLoss, "perceptual": PerceptualLoss}
+            assert self.perceptual_name in flavors, (
+                f"unknown perceptual_name {self.perceptual_name!r}; "
+                f"expected one of {sorted(flavors)}"
+            )
+            self.perceptual_loss = flavors[self.perceptual_name](vgg=shared_vgg)
         else:
             self.perceptual_loss = None
 

@@ -46,17 +46,16 @@ class MultiSeedTrainer:
         if len(jax.devices()) > 1:
             from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-            from ..parallel.mesh import make_mesh
             from ..parallel.seeds import pad_seeds
 
-            mesh = make_mesh(n_seeds=self.n_valid)
-            slots = mesh.shape["seed"] * mesh.shape["data"]
-            # flatten the whole mesh onto the seed axis: each padded seed
-            # slot owns one device (duplicates are masked at selection)
+            n_dev = len(jax.devices())
+            # one or more padded seed slots per device: the stacked seed
+            # axis must divide the device count, so round up to a multiple
+            # (5 seeds on 4 chips -> 8 slots, 2 per chip); duplicates are
+            # masked at selection
+            slots = -(-self.n_valid // n_dev) * n_dev
             self.seeds, self.n_valid = pad_seeds(self.seeds, slots)
-            flat = Mesh(
-                np.asarray(mesh.devices).reshape(slots), ("seed",)
-            )
+            flat = Mesh(np.asarray(jax.devices()), ("seed",))
             self._shard = NamedSharding(flat, P("seed"))
             print_log(
                 f"[multi-seed] sharding {self.n_valid} seeds over "

@@ -22,10 +22,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: the suite is compile-bound on CPU (single-core
-# hosts pay ~6 min of XLA compiles); with a warm cache it runs in ~2 min.
-# Artifacts are tiny (hundreds of KB per big graph) and keyed by content
-# hash + jax/XLA version, so a stale cache just misses. The prewarmed cache
-# is committed (tests/.jax_cache) for CI; delete it freely.
+# hosts pay ~3.5 min of XLA compiles cold); with a warm cache it runs in
+# ~2 min. Entries are keyed by content hash + jax/XLA version, so a stale
+# cache just misses. The cache dir is gitignored (it grows to tens of MB);
+# it only speeds up repeat local runs — delete it freely.
 _CACHE = Path(__file__).resolve().parent / ".jax_cache"
 jax.config.update("jax_compilation_cache_dir", str(_CACHE))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

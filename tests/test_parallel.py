@@ -232,3 +232,34 @@ def test_multi_scene_runner_2x2x2():
         )
     # different cameras must actually produce different scene losses
     assert not np.allclose(np.asarray(losses)[0], np.asarray(losses)[1])
+
+
+@pytest.mark.slow
+def test_multi_seed_trainer_more_seeds_than_devices(tmp_path):
+    """9 seeds on the 8-device mesh: slots round up to 16 (2 per device),
+    padded duplicates are masked out of selection."""
+    from dbw_tpu.train.multi_seed import MultiSeedTrainer
+
+    cfg = {
+        "dataset": {"name": "synthetic", "tag": "t", "img_size": [16, 24],
+                    "n_views": 4, "seed": 5},
+        "model": {
+            "name": "dbw",
+            "mesh": dict(n_blocks=2, txt_size=16, T_range=[0.5, 0.5, 0.5]),
+            "renderer": dict(faces_per_pixel=2),
+            "rend_optim": dict(decouple_rendering=True, coarse_learning=10),
+            "loss": dict(rgb_weight=1),
+        },
+        "training": {
+            "batch_size": 2, "n_epoches": 1,
+            "optimizer": {"name": "adam", "lr": 5e-3},
+            "scheduler": {"name": "multi_step", "milestones": []},
+            "train_stat_interval": 5, "val_stat_interval": 5, "seed": 1,
+        },
+    }
+    seeds = list(range(1, 10))  # 9 seeds > 8 devices
+    t = MultiSeedTrainer(cfg, tmp_path, seeds=seeds)
+    assert len(t.seeds) == 16 and t.n_valid == 9
+    best_params, best_seed, losses = t.run()
+    assert best_seed in seeds
+    assert len(losses) == 9
