@@ -22,11 +22,9 @@ os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
 )
-# Fast-backward default: the sort-based texel backward compiles fine and
-# ~2x's the step; the one-hot-scan face-table backward trips a pathological
-# server-side compile in the axon remote-compile environment (BENCH_NOTES.md),
-# so it stays off here. Override with DBW_FAST_SCATTER=all on normal hosts.
-os.environ.setdefault("DBW_FAST_SCATTER", "texel")
+# Backward defaults: DBW_TEXEL=auto (quadk Pallas texel kernel) and
+# DBW_FAST_SCATTER=auto (Pallas small-table face backward) — see
+# BENCH_NOTES.md for the measured ladder and the legacy escape hatches.
 
 
 REFERENCE_STEPS_PER_SEC = 1.0 / 0.65  # BASELINE.md derived: ~0.65 s/step

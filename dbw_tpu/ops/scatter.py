@@ -29,9 +29,12 @@ import jax.numpy as jnp
 #   DBW_FAST_SCATTER=1/all   one-hot-matmul face backward + sort texel backward
 #   DBW_FAST_SCATTER=gather  only the face-table one-hot backward
 #   DBW_FAST_SCATTER=texel   only the sort-based texel backward
-_MODE = os.environ.get("DBW_FAST_SCATTER", "texel").lower()
+# 'auto' (default): Pallas small-table scatter kernel for the face-table
+# backward on TPU, plain XLA scatter on CPU. Legacy values (0/all/gather/
+# texel) select the round-1 XLA pipelines.
+_MODE = os.environ.get("DBW_FAST_SCATTER", "auto").lower()
 FAST_GATHER = _MODE in ("1", "all", "gather", "true")
-FAST_TEXEL = _MODE in ("1", "all", "texel", "true")
+FAST_TEXEL = _MODE in ("1", "all", "texel", "true", "auto")
 FAST_SCATTER = FAST_GATHER  # back-compat alias
 
 
@@ -107,6 +110,16 @@ def _gather_bwd(res, g):
     idx, F = res
     flat_idx = idx.reshape(-1)
     flat_g = g.reshape(-1, g.shape[-1])
+    if (
+        _MODE in ("auto", "kernel")
+        and jax.default_backend() != "cpu"
+        and g.shape[-1] <= 16
+    ):
+        # Pallas windowed one-hot scatter with a VMEM-resident accumulator
+        # (fragment face ids are view/block-local per sub-chunk)
+        from .segment_sum_pallas import small_table_scatter_add
+
+        return small_table_scatter_add(flat_idx, flat_g, F), None
     masked = jnp.where(flat_idx >= 0, flat_idx, F)  # out-of-range -> dropped
     if FAST_GATHER:
         # sort-based segment sum (same pipeline as the texel backward; the

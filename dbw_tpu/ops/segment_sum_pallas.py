@@ -140,3 +140,83 @@ def quad_corner_segment_sums(s, wx, wy, gcols, R):
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(win_info, *args, jnp.zeros((16, R_pad), jnp.float32))
     return out[:12, :R]
+
+
+def _small_kernel(win_ref, s_ref, updT_ref, out_ref, acc, *, n_pad_rows):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    for sub in range(SUB):
+        s_blk = s_ref[sub:sub + 1, :]                    # (1, CH) int32
+        updT = updT_ref[:, pl.ds(sub * CH, CH)]          # (16, CH)
+        w0 = win_ref[0, sub, 0]
+        n_win = win_ref[0, sub, 1]
+
+        def win_body(w, _):
+            base = (w0 + w) * W
+            iota = jax.lax.broadcasted_iota(jnp.int32, (W, CH), 0) + base
+            oh = (iota == s_blk).astype(jnp.float32)     # (W, CH)
+            contrib = jax.lax.dot_general(
+                updT, oh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (16, W)
+            acc[:, pl.ds(base, W)] = acc[:, pl.ds(base, W)] + contrib
+            return 0
+
+        jax.lax.fori_loop(0, n_win, win_body, 0)
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _():
+        out_ref[:] = acc[:]
+
+
+def small_table_scatter_add(idx, upd, n_rows):
+    """UNSORTED scatter-add of upd (N, C<=16) at idx (N,) into (n_rows, C)
+    for SMALL tables (n_rows up to a few thousand): the full channel-major
+    accumulator lives in VMEM scratch across the sequential grid, and each
+    1024-row sub-chunk contracts a windowed one-hot on the MXU.
+
+    Correct for ANY ids in [-1, n_rows) (negatives dropped), but fast only
+    when each sub-chunk's ids are LOCALIZED — true for the fragment face
+    stream, where consecutive fragments belong to one view and a few
+    spatially-coherent blocks. Replaces the XLA scatter in gather_rows'
+    backward (ops/scatter.py)."""
+    N, C = upd.shape
+    assert C <= 16, C
+    upd = jnp.where((idx >= 0)[:, None], upd, 0.0)
+    idx = jnp.maximum(idx, 0)
+    blk = SUB * CH
+    n_blk = max(-(-N // blk), 1)
+    pad = n_blk * blk - N
+    if pad:
+        idx = jnp.concatenate([idx, jnp.broadcast_to(idx[-1:], (pad,))])
+        upd = jnp.concatenate([upd, jnp.zeros((pad, C), upd.dtype)])
+    R_pad = -(-n_rows // W) * W
+    s_mat = idx.reshape(n_blk * SUB, CH)
+    mn = s_mat.min(axis=1).reshape(n_blk, SUB)
+    mx = s_mat.max(axis=1).reshape(n_blk, SUB)
+    w0 = mn // W
+    n_win = mx // W - w0 + 1
+    win_info = jnp.stack([w0, n_win], axis=-1).astype(jnp.int32)
+    updT = jnp.concatenate(
+        [upd.astype(jnp.float32).T,
+         jnp.zeros((16 - C, upd.shape[0]), jnp.float32)],
+        axis=0,
+    )  # (16, N_pad)
+
+    out = pl.pallas_call(
+        functools.partial(_small_kernel, n_pad_rows=16 - C),
+        grid=(n_blk,),
+        in_specs=[
+            pl.BlockSpec((1, SUB, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((SUB, CH), lambda i: (i, 0)),
+            pl.BlockSpec((16, blk), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((16, R_pad), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((16, R_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((16, R_pad), jnp.float32)],
+    )(win_info, s_mat, updT)
+    return out[:C, :n_rows].T

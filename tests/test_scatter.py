@@ -1,6 +1,7 @@
 """MXU scatter/gather vs XLA reference semantics."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -69,3 +70,26 @@ def test_gather_rows_negative_no_grad():
     # row 0 receives nothing from the clamped -1 read; row 1 gets the grad
     np.testing.assert_allclose(np.asarray(g)[0], 0.0)
     np.testing.assert_allclose(np.asarray(g)[1], 1.0)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() == "cpu",
+    reason="small_table_scatter_add Pallas kernel needs TPU",
+)
+def test_small_table_scatter_add_matches_at_add():
+    from dbw_tpu.ops.segment_sum_pallas import small_table_scatter_add
+
+    rng = np.random.default_rng(3)
+    N, R = 50_000, 1600
+    base = np.repeat(rng.integers(0, R - 100, N // 500), 500)
+    ids = (base + rng.integers(0, 100, N)).clip(0, R - 1).astype(np.int32)
+    ids[::11] = -1
+    upd = rng.standard_normal((N, 12)).astype(np.float32)
+    out = np.asarray(
+        jax.jit(lambda i, u: small_table_scatter_add(i, u, R))(ids, upd)
+    )
+    ref = np.zeros((R, 12))
+    m = ids >= 0
+    for c in range(12):
+        np.add.at(ref[:, c], ids[m], upd[m][:, c])
+    np.testing.assert_allclose(out, ref, atol=1e-4)
