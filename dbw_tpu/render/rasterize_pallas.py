@@ -8,8 +8,11 @@ reference: src/model/renderer.py:53).
 
 Kernel design (flash-attention-style streaming over faces):
 
-- grid = (views, H/16, W/16) pixel tiles; each program owns 16x16 = 256
-  pixels, flattened to the sublane axis of (256, C) score arrays,
+- grid = (views, H/8, W/16) pixel tiles; each program owns 8x16 = 128
+  pixels, flattened to the sublane axis of (128, C) score arrays
+  (tile-size sweep on v5e: 8x16 beats 16x16 by ~13% and 32x32 by ~30% —
+  small tiles cull face chunks far more effectively and keep the K-slot
+  state arrays small),
 - faces are packed on host into an (16, F_pad) attribute matrix (vertex
   xy, z, validity, bbox) living in VMEM and streamed in chunks of C = 128
   lanes,
@@ -35,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 BIG = 3.0e38
 BIG_I = 2**30
 
-TH, TW = 16, 16          # pixel tile
+TH, TW = 8, 16           # pixel tile
 PT = TH * TW             # 256 pixels / program
 CHUNK = 128              # faces per streamed chunk
 A_PAD = 16               # padded attribute rows
