@@ -161,6 +161,27 @@ def _kernel(scalars_ref, faces_ref, out_ref, keys_ref, idxs_ref, *, K, KS,
                 chunk_keys = jnp.where(ok, z, BIG)  # (PT, CHUNK)
                 chunk_fidx = base + lane
 
+                if K == 1:
+                    # hard/env pass: plain running (z, idx) min — no K-slot
+                    # machinery (strict < keeps the earliest face on ties,
+                    # matching the general path's ordering)
+                    cmin = jnp.min(chunk_keys, axis=-1, keepdims=True)
+                    cml = jnp.min(
+                        jnp.where(chunk_keys == cmin, lane, BIG_I),
+                        axis=-1, keepdims=True,
+                    )
+                    cidx = jnp.min(
+                        jnp.where(lane == cml, chunk_fidx, BIG_I),
+                        axis=-1, keepdims=True,
+                    )
+                    best = keys_ref[:, 0:1]
+                    take = cmin < best
+                    keys_ref[:, 0:1] = jnp.where(take, cmin, best)
+                    idxs_ref[:, 0:1] = jnp.where(
+                        take, cidx, idxs_ref[:, 0:1]
+                    )
+                    return
+
                 def insert_cond(carry):
                     i, ck, keys, idxs = carry
                     # stop early once no pixel has a candidate that could
