@@ -114,6 +114,7 @@ def _gather_bwd(res, g):
         _MODE in ("auto", "kernel")
         and jax.default_backend() != "cpu"
         and g.shape[-1] <= 16
+        and F <= 65536  # (16, R_pad) f32 accumulator must fit VMEM
     ):
         # Pallas windowed one-hot scatter with a VMEM-resident accumulator
         # (fragment face ids are view/block-local per sub-chunk)
