@@ -192,10 +192,9 @@ def _quad_table(maps_flat, TW):
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _sample_quad(maps_flat, id00, wx, wy, TW):
+def _quad_forward(maps_flat, id00, wx, wy, TW):
     """Bilinear sample via the quad table: ONE row gather per fragment
-    (instead of 4 corner gathers); uv treated as non-differentiable.
+    (instead of 4 corner gathers).
 
     maps_flat: (R, C); id00: (...,) i32 base-corner texel id; wx, wy: (...,)
     f32 bilinear offsets in [0, 1]. Returns (..., C)."""
@@ -209,6 +208,13 @@ def _sample_quad(maps_flat, id00, wx, wy, TW):
         + q[..., 3 * C:4 * C] * (wx * wy)[..., None]
     )
     return out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _sample_quad(maps_flat, id00, wx, wy, TW):
+    """_quad_forward with uv treated as non-differentiable (training path);
+    d_maps via the sort + segment-sum + stencil backward."""
+    return _quad_forward(maps_flat, id00, wx, wy, TW)
 
 
 def _sample_quad_fwd(maps_flat, id00, wx, wy, TW):
@@ -302,7 +308,7 @@ def _sample_quad_diff(maps_flat, id00, wx, wy, TW, TH):
     the diff_uv path (env pass: ground pose learns through texture
     sampling). d_maps shares the sort+stencil machinery; d_wx/d_wy are
     analytic from a backward regather of the quad rows."""
-    return _sample_quad.__wrapped__(maps_flat, id00, wx, wy, TW)
+    return _quad_forward(maps_flat, id00, wx, wy, TW)
 
 
 def _sample_quad_diff_fwd(maps_flat, id00, wx, wy, TW, TH):
