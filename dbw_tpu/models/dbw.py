@@ -178,6 +178,10 @@ class BlocksWorld:
             "overlap": kw.pop("overlap_weight", 0),
         }
         self.loss_name = kw.pop("name", "mse")
+        from ..losses import get_loss
+
+        self.criterion = get_loss(self.loss_name)  # rgb reconstruction term
+        assert callable(self.criterion)
         self.perceptual_name = kw.pop("perceptual_name", "lpips")
         self.tv_norm = tv_norm_funcs[kw.pop("tv_type", "l2sq")]
         vgg_weights_path = kw.pop("vgg_weights", None)
@@ -358,7 +362,13 @@ class BlocksWorld:
         (losses use it even in eval, dbw.py:364), while texture decimation and
         opacity noise additionally require training mode (dbw.py:276, 298-301).
         Hard transparency filtering kicks in after the coarse phase or when
-        requested explicitly (dbw.py:210-211)."""
+        requested explicitly (dbw.py:210-211).
+
+        Known nuance: the reference decimates env (bkg/ground) textures on
+        training+decimate_txt alone (dbw.py:276), without the coarse
+        condition applied to block textures (dbw.py:333); this single flag
+        adds the coarse condition for both. Identical for every shipped
+        config (decimate_txt milestones end before coarse_learning)."""
         coarse = self._is_live(self.coarse_learning, epoch)
         decim = training and coarse and self._is_live(self.decimate_txt, epoch)
         noise = float(self.opacity_noise) if (training and coarse) else 0.0
@@ -614,7 +624,8 @@ class BlocksWorld:
         losses = {}
 
         if "rgb" in w:
-            losses["rgb"] = w["rgb"] * mse_loss(imgs, rec)
+            # configured criterion (reference dbw.py:161,367: get_loss(name))
+            losses["rgb"] = w["rgb"] * self.criterion(imgs, rec)
 
         if "perceptual" in w:
             factor = jnp.where(phase.coarse, 1.0, 0.1)

@@ -300,3 +300,32 @@ class TestPerceptualFlavor:
         )
         assert "perceptual" in losses
         assert np.isfinite(float(losses["total"]))
+
+
+class TestRGBCriterion:
+    """loss.name must select the rgb criterion (reference dbw.py:161,367)."""
+
+    def test_l1_criterion_selected_and_used(self, params):
+        from dbw_tpu.losses.basic import l1_loss, mse_loss
+
+        m = BlocksWorld(IMG, **{**MODEL_CFG, "loss": {**MODEL_CFG["loss"],
+                                                      "name": "l1"}})
+        K = np.zeros((4, 4), np.float32)
+        K[0, 0] = K[1, 1] = 2.0
+        m.set_camera(K)
+        assert m.criterion is l1_loss
+        phase = m.phase_for_epoch(0, training=True)
+        R, T = cams(1)
+        imgs = jnp.full((1,) + IMG + (3,), 0.2, jnp.float32)
+        rec, aux = jax.jit(m.predict)(params, phase, R, T,
+                                      key=jax.random.PRNGKey(0))
+        losses = m.compute_losses(imgs, rec, params, phase, aux,
+                                  key=jax.random.PRNGKey(1))
+        expected = float(l1_loss(imgs, rec))
+        assert float(losses["rgb"]) == pytest.approx(expected, rel=1e-6)
+        assert expected != pytest.approx(float(mse_loss(imgs, rec)), rel=1e-3)
+
+    def test_unknown_name_fails_loudly(self):
+        with pytest.raises(KeyError):
+            BlocksWorld(IMG, **{**MODEL_CFG,
+                                "loss": {**MODEL_CFG["loss"], "name": "nope"}})
