@@ -324,23 +324,29 @@ class BlocksWorld:
         rc = dict(self._renderer_cfg)
         cameras = rc.pop("cameras", {"name": "perspective"})
         del cameras  # camera intrinsics come from the dataset K
-        fpp = rc.pop("faces_per_pixel", 10)
+        rc.pop("lights", None)  # light config is fixed per renderer flavor
+        fpp = rc.pop("faces_per_pixel", 25)  # reference default renderer.py:33
         rc.pop("sigma", None)  # handled in __init__ (sigma_coarse)
         detach_bary = rc.pop("detach_bary", False)
+        clip_inside = rc.pop("clip_inside", True)
+        shading = rc.pop("shading_type", "raw")
+        bg_color = tuple(rc.pop("background_color", (0.0, 0.0, 0.0)))
         z_clip = rc.pop("z_clip", 1e-3) or 1e-3
         rc.pop("perspective_correct", None)
-        rc.pop("background_color", None)
         assert not rc, f"unknown renderer config keys: {rc}"
         self.renderer = make_train_renderer(
             self.img_size, self.camera, faces_per_pixel=fpp,
             sigma=self.sigma_coarse, detach_bary=detach_bary,
-            z_clip=z_clip, backend=self.backend,
+            clip_inside=clip_inside, shading=shading,
+            background_color=bg_color, z_clip=z_clip, backend=self.backend,
         )
         self.renderer_env = make_env_renderer(
-            self.img_size, self.camera, z_clip=z_clip, backend=self.backend
+            self.img_size, self.camera, shading=shading,
+            background_color=bg_color, z_clip=z_clip, backend=self.backend
         )
         self.renderer_viz = make_viz_renderer(
-            self.img_size, self.camera, z_clip=z_clip, backend=self.backend
+            self.img_size, self.camera, background_color=bg_color,
+            z_clip=z_clip, backend=self.backend
         )
         self.renderer_light = make_viz_renderer(
             self.img_size, self.camera, shading="flat",
