@@ -42,24 +42,32 @@ class MultiSeedTrainer:
         self.cfg = cfg
         self.seeds = list(seeds)
         self.n_valid = len(self.seeds)
+        self.batch_size = cfg["training"].get("batch_size", 4)
         self._shard = None
+        self._mesh = None
         if len(jax.devices()) > 1:
-            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
+            from ..parallel.mesh import factor_devices, make_mesh
             from ..parallel.seeds import pad_seeds
 
             n_dev = len(jax.devices())
-            # one or more padded seed slots per device: the stacked seed
-            # axis must divide the device count, so round up to a multiple
-            # (5 seeds on 4 chips -> 8 slots, 2 per chip); duplicates are
-            # masked at selection
-            slots = -(-self.n_valid // n_dev) * n_dev
+            # leftover devices beyond the seed count become a data axis
+            # (gradient pmean over views); if the view batch doesn't divide
+            # it, fall back to all-seed with padded duplicate slots. Seed
+            # slots round up to a multiple of the seed axis (a slot per
+            # device group; duplicates are masked at selection).
+            seed_ax, n_data = factor_devices(n_dev, n_seeds=self.n_valid)
+            if self.batch_size % n_data != 0:
+                seed_ax, n_data = n_dev, 1
+            slots = -(-self.n_valid // seed_ax) * seed_ax
             self.seeds, self.n_valid = pad_seeds(self.seeds, slots)
-            flat = Mesh(np.asarray(jax.devices()), ("seed",))
-            self._shard = NamedSharding(flat, P("seed"))
+            self._mesh = make_mesh(seed_ax, n_data)
+            self._shard = NamedSharding(self._mesh, P("seed"))
             print_log(
-                f"[multi-seed] sharding {self.n_valid} seeds over "
-                f"{slots} devices ({slots - self.n_valid} padded slots)"
+                f"[multi-seed] mesh (seed={seed_ax}, data={n_data}): "
+                f"{self.n_valid} seeds in {slots} slots "
+                f"({slots - self.n_valid} padded)"
             )
         S = len(self.seeds)
         self.train_loader, self.val_loader, self.test_loader = (
@@ -68,7 +76,6 @@ class MultiSeedTrainer:
         self.dataset = self.train_loader.dataset
         self.model = create_model(cfg, self.dataset.img_size)
         self.model.set_camera(self.dataset.K[0])
-        self.batch_size = cfg["training"].get("batch_size", 4)
         self.n_epoches = cfg["training"]["n_epoches"]
 
         params_list = [self.model.init_params(seed=s) for s in self.seeds]
@@ -85,21 +92,28 @@ class MultiSeedTrainer:
 
         model, optimizer = self.model, self.optimizer
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def step(params_S, opt_S, imgs, R, T, phase, lrs, keys):
-            def one(p, o, k):
-                def loss_fn(pp):
-                    losses = model.forward(pp, phase, imgs, R, T, k)
-                    return losses["total"], losses
+        if self._mesh is not None:
+            from ..parallel.seeds import MultiSeedRunner
 
-                grads, losses = jax.grad(loss_fn, has_aux=True)(p)
-                updates, o = optimizer.update(grads, o, lrs)
-                p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
-                return p, o, losses["total"]
+            self._step = MultiSeedRunner(model, optimizer, self._mesh).step
+        else:
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def step(params_S, opt_S, imgs, R, T, phase, lrs, keys):
+                def one(p, o, k):
+                    def loss_fn(pp):
+                        losses = model.forward(pp, phase, imgs, R, T, k)
+                        return losses["total"], losses
 
-            return jax.vmap(one)(params_S, opt_S, keys)
+                    grads, losses = jax.grad(loss_fn, has_aux=True)(p)
+                    updates, o = optimizer.update(grads, o, lrs)
+                    p = jax.tree_util.tree_map(
+                        lambda a, u: a + u, p, updates
+                    )
+                    return p, o, losses["total"]
 
-        self._step = step
+                return jax.vmap(one)(params_S, opt_S, keys)
+
+            self._step = step
 
     def run(self):
         S = len(self.seeds)
