@@ -20,13 +20,13 @@ nn.Module (src/model/dbw.py): the scene is
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..losses.basic import mse_loss, tv_norm_funcs
+from ..losses.basic import tv_norm_funcs
 from ..losses.vgg import LPIPSLoss, PerceptualLoss, VGG16Features
 from ..ops.icosphere import icosphere, plane_mesh, subdivide
 from ..ops.rotations import euler_world_matrix, random_rotations, rotation_6d_to_matrix
@@ -37,7 +37,6 @@ from ..render.cameras import Camera
 from ..render.meshes import MeshScene, TextureAtlas, concat_scenes
 from ..render.renderer import (
     Renderer,
-    RendererConfig,
     make_env_renderer,
     make_train_renderer,
     make_viz_renderer,

@@ -13,7 +13,6 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from ..models.dbw import SceneParams, TEXTURE_PARAM_NAMES
