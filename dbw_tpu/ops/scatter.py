@@ -93,34 +93,48 @@ def sorted_segment_sum(ids, updates, n_rows):
     return (total_to - prev).astype(updates.dtype)
 
 
-@jax.custom_vjp
-def gather_rows(table, idx):
-    """table[(idx,)] with an MXU matmul backward instead of XLA scatter.
+from functools import partial
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_rows_partial(table, idx, n_grad_cols):
+    """table[(idx,)] with a fast backward that scatters cotangents for the
+    FIRST ``n_grad_cols`` columns only (the rest are declared gradient-free
+    — e.g. static uv/map-index columns packed next to dynamic geometry in
+    one table so the fragment stream pays ONE row gather).
 
     table: (F, C); idx: any int shape; out: idx.shape + (C,). Negative
     indices read row 0 forward and receive no gradient."""
     return table[jnp.maximum(idx, 0)]
 
 
-def _gather_fwd(table, idx):
-    return gather_rows(table, idx), (idx, table.shape[0])
+def gather_rows(table, idx):
+    """gather_rows_partial with gradients for every column."""
+    return gather_rows_partial(table, idx, table.shape[-1])
 
 
-def _gather_bwd(res, g):
-    idx, F = res
+def _gather_fwd(table, idx, n_grad_cols):
+    return gather_rows_partial(table, idx, n_grad_cols), (
+        idx, table.shape[0], table.shape[-1]
+    )
+
+
+def _gather_bwd(n_grad_cols, res, g):
+    idx, F, C_total = res
     flat_idx = idx.reshape(-1)
-    flat_g = g.reshape(-1, g.shape[-1])
+    flat_g = g.reshape(-1, g.shape[-1])[:, :n_grad_cols]
     if (
         _MODE in ("auto", "kernel")
         and jax.default_backend() != "cpu"
-        and g.shape[-1] <= 16
+        and flat_g.shape[-1] <= 16
         and F <= 65536  # (16, R_pad) f32 accumulator must fit VMEM
     ):
         # Pallas windowed one-hot scatter with a VMEM-resident accumulator
         # (fragment face ids are view/block-local per sub-chunk)
         from .segment_sum_pallas import small_table_scatter_add
 
-        return small_table_scatter_add(flat_idx, flat_g, F), None
+        d = small_table_scatter_add(flat_idx, flat_g, F)
+        return _pad_cols(d, C_total), None
     masked = jnp.where(flat_idx >= 0, flat_idx, F)  # out-of-range -> dropped
     if FAST_GATHER:
         # sort-based segment sum (same pipeline as the texel backward; the
@@ -130,11 +144,20 @@ def _gather_bwd(res, g):
         d_table = sorted_segment_sum(masked, flat_g, F + 1)[:F]
     else:
         d_table = (
-            jnp.zeros((F + 1, g.shape[-1]), flat_g.dtype)
+            jnp.zeros((F + 1, flat_g.shape[-1]), flat_g.dtype)
             .at[masked]
             .add(flat_g)[:F]
         )
-    return d_table, None
+    return _pad_cols(d_table, C_total), None
 
 
-gather_rows.defvjp(_gather_fwd, _gather_bwd)
+def _pad_cols(d, C_total):
+    n = d.shape[-1]
+    if n == C_total:
+        return d
+    return jnp.concatenate(
+        [d, jnp.zeros((d.shape[0], C_total - n), d.dtype)], axis=1
+    )
+
+
+gather_rows_partial.defvjp(_gather_fwd, _gather_bwd)

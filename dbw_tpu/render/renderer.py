@@ -142,19 +142,14 @@ class Renderer:
         F = scene.faces.shape[0]
         N = Hs * Ws * K
 
-        # dynamic table (gradient-carrying): xy (6), z (3), face alpha (1);
-        # per-view face rows concatenated -> (B*F, 12)
-        dyn = jnp.concatenate(
-            [
-                geom_b.xy.reshape(B * F, 6),
-                geom_b.z.reshape(B * F, 3),
-                jnp.tile(scene.faces_alpha, B)[:, None],
-                jnp.zeros((B * F, 2), geom_b.xy.dtype),
-            ],
-            axis=1,
-        )
-        # static table (no gradients): uv corners (6), map index (1) —
-        # view-independent, one copy
+        # ONE combined per-face table: gradient-carrying dynamic columns
+        # first (xy 6, z 3, face alpha 1, 2 pad), then gradient-free static
+        # columns (uv corners 6, map index 1, 1 pad) — the fragment stream
+        # pays a single row gather (row-count-bound on TPU, so the extra
+        # width is nearly free) and the backward scatters only the first 12
+        # columns (gather_rows_partial)
+        from ..ops.scatter import gather_rows_partial
+
         stat = jax.lax.stop_gradient(
             jnp.concatenate(
                 [
@@ -165,13 +160,25 @@ class Renderer:
                 axis=1,
             )
         )
+        dyn = jnp.concatenate(
+            [
+                geom_b.xy.reshape(B * F, 6),
+                geom_b.z.reshape(B * F, 3),
+                jnp.tile(scene.faces_alpha, B)[:, None],
+                jnp.zeros((B * F, 2), geom_b.xy.dtype),
+                jnp.tile(stat, (B, 1)),
+            ],
+            axis=1,
+        )  # (B*F, 20)
         p2f_flat = p2f_b.reshape(B * N)
         view_off = jnp.repeat(
             jnp.arange(B, dtype=jnp.int32) * F, N, total_repeat_length=B * N
         )
-        dyn_idx = jnp.where(p2f_flat >= 0, p2f_flat + view_off, -1)
-        tab = gather_rows(dyn, dyn_idx)                  # (B*N, 12)
-        stab = stat[jnp.maximum(p2f_flat, 0)]            # (B*N, 8), constant
+        # invalid fragments read their view's base row (zero cotangents by
+        # construction; keeps ids view-local for the windowed scatter kernel)
+        dyn_idx = jnp.maximum(p2f_flat, 0) + view_off
+        full = gather_rows_partial(dyn, dyn_idx, 12)     # (B*N, 20)
+        tab, stab = full[:, :12], full[:, 12:]
 
         x0, y0 = tab[:, 0], tab[:, 1]
         x1, y1 = tab[:, 2], tab[:, 3]
