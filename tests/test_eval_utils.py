@@ -275,7 +275,9 @@ class TestDTUSurfaceSampling:
         out = sample_mesh_surface(verts, faces, density=0.5)
         dt = time.time() - t0
         assert len(out) > len(verts)
-        assert dt < 10.0, f"sampler too slow: {dt:.1f}s"
+        # generous bound (the old per-triangle loop took minutes; the
+        # vectorized path takes ~2 s) so host contention can't flake it
+        assert dt < 60.0, f"sampler too slow: {dt:.1f}s"
 
     def test_degenerate_triangles_only(self):
         from dbw_tpu.eval.dtu_eval import sample_mesh_surface
