@@ -177,6 +177,49 @@ class Renderer:
         # invalid fragments read their view's base row (zero cotangents by
         # construction; keeps ids view-local for the windowed scatter kernel)
         dyn_idx = jnp.maximum(p2f_flat, 0) + view_off
+
+        # pixel NDC centers per fragment (pure index math, no gathers)
+        n_idx = jnp.arange(B * N, dtype=jnp.int32) % N
+        pix = n_idx // K
+        row = pix // Ws
+        col = pix % Ws
+        s = min(Hs, Ws)
+        px = (Ws - 1.0 - 2.0 * col.astype(jnp.float32)) / s
+        py = (Hs - 1.0 - 2.0 * row.astype(jnp.float32)) / s
+
+        from .meshes import _sample_quad, _texel_mode
+        from .fragment_fused import (
+            DR, WIN, frag_fused_enabled, fused_fragment_shade,
+        )
+
+        if (
+            cfg.detach_bary
+            and frag_fused_enabled()
+            and _texel_mode() in ("quad", "quadk")
+        ):
+            # fully-fused fragment stage: one Pallas kernel does the face
+            # gather (windowed one-hot MXU contraction against the
+            # VMEM-resident table) + bary/edge-distance/uv/alpha math;
+            # its custom backward scatters d(vertex xy, face alpha)
+            # (render/fragment_fused.py)
+            M, THt, TWt = scene.atlas.maps.shape[:3]
+            F_tab = dyn.shape[0]
+            F_pad = -(-F_tab // WIN) * WIN
+            dynT = jnp.pad(
+                dyn, ((0, F_pad - F_tab), (0, 0))
+            ).T
+            dynT = jnp.pad(dynT, ((0, DR - dynT.shape[0]), (0, 0)))
+            vld = (p2f_flat >= 0).astype(jnp.float32)
+            flags = (rcfg.perspective_correct, rcfg.clip_barycentric,
+                     cfg.clip_inside, THt, TWt)
+            id00, wx, wy, alpha = fused_fragment_shade(
+                dynT, dyn_idx, vld, px, py, jnp.asarray(sigma, jnp.float32),
+                flags,
+            )
+            maps_flat = scene.atlas.maps.reshape(M * THt * TWt, 3)
+            colors = _sample_quad(maps_flat, id00, wx, wy, TWt)
+            return self._blend_tail(colors, alpha, B, Hs, Ws, K)
+
         full = gather_rows_partial(dyn, dyn_idx, 12)     # (B*N, 20)
         tab, stab = full[:, :12], full[:, 12:]
 
@@ -189,15 +232,6 @@ class Renderer:
         u1, v1u = stab[:, 2], stab[:, 3]
         u2, v2u = stab[:, 4], stab[:, 5]
         mi = stab[:, 6].astype(jnp.int32)
-
-        # pixel NDC centers per fragment (pure index math, no gathers)
-        n_idx = jnp.arange(B * N, dtype=jnp.int32) % N
-        pix = n_idx // K
-        row = pix // Ws
-        col = pix % Ws
-        s = min(Hs, Ws)
-        px = (Ws - 1.0 - 2.0 * col.astype(jnp.float32)) / s
-        py = (Hs - 1.0 - 2.0 * row.astype(jnp.float32)) / s
 
         # 2D barycentrics + signed squared edge distance (component math,
         # identical numerics to rasterize.signed_edge_dist2)
@@ -252,8 +286,6 @@ class Renderer:
         colors = sample_atlas_bilinear(
             scene.atlas.maps, mi, uv, diff_uv=not cfg.detach_bary
         )  # (N, 3)
-        if cfg.ambient_color is not None:
-            colors = colors * jnp.asarray(cfg.ambient_color)
 
         # coverage alpha (reference renderer.py:252-257 semantics)
         valid = (p2f_flat >= 0).astype(jnp.float32)
@@ -265,7 +297,14 @@ class Renderer:
             soft_a = jax.nn.sigmoid(-dists / jnp.maximum(sigma, 1e-20))
         hard_a = (dists <= 0.0).astype(jnp.float32)
         alpha = jnp.where(sigma == 0.0, hard_a, soft_a) * valid * face_alpha
+        return self._blend_tail(colors, alpha, B, Hs, Ws, K)
 
+    def _blend_tail(self, colors, alpha, B, Hs, Ws, K):
+        """Shared tail of the fused shading paths: ambient scale + layered
+        blend + optional supersample pooling."""
+        cfg = self.config
+        if cfg.ambient_color is not None:
+            colors = colors * jnp.asarray(cfg.ambient_color)
         img = layered_blend(
             colors.reshape(B, Hs, Ws, K, 3), alpha.reshape(B, Hs, Ws, K),
             cfg.background_color,
