@@ -32,14 +32,15 @@ CH = 1024      # sorted rows per one-hot matmul
 SUB = 8        # sub-chunks per program
 
 
-def _kernel(win_ref, s_ref, wx_ref, wy_ref, r_ref, g_ref, b_ref, zeros_ref,
+def _kernel(win_ref, s_ref, p_ref, r_ref, g_ref, b_ref, zeros_ref,
             out_ref, scratch, sem_in, sem_out):
     del zeros_ref  # aliased with out_ref (provides the zero init)
     for sub in range(SUB):
         sl = slice(sub, sub + 1)
         s_blk = s_ref[sl, :]                      # (1, CH) int32
-        wx = wx_ref[sl, :]
-        wy = wy_ref[sl, :]
+        p = p_ref[sl, :]                          # 15+15-bit packed wx|wy
+        wx = (p >> 15).astype(jnp.float32) * (1.0 / 32767.0)
+        wy = (p & 0x7FFF).astype(jnp.float32) * (1.0 / 32767.0)
         r = r_ref[sl, :]
         g = g_ref[sl, :]
         b = b_ref[sl, :]
@@ -87,11 +88,13 @@ def _kernel(win_ref, s_ref, wx_ref, wy_ref, r_ref, g_ref, b_ref, zeros_ref,
         jax.lax.fori_loop(0, n_win, win_body, 0)
 
 
-def quad_corner_segment_sums(s, wx, wy, gcols, R):
+def quad_corner_segment_sums(s, packed_wxy, gcols, R):
     """Per-base-id sums of the 4 bilinear-corner weighted gradients.
 
     s: (N,) int32 base texel ids, SORTED ascending, values in [0, R);
-    wx, wy: (N,) f32; gcols: tuple of 3 (N,) f32 gradient channels.
+    packed_wxy: (N,) i32 15+15-bit fixed-point (wx << 15) | wy (packed so
+    the caller's sort carries ONE weight payload instead of two f32s);
+    gcols: tuple of 3 (N,) f32 gradient channels.
     Returns (12, R) f32: rows [c*3:(c+1)*3] hold the RGB sums weighted by
     corner c's bilinear weight, ordered (00, 01, 10, 11). (Transposed so
     the kernel's per-window DMA slices run along the 128-aligned lane
@@ -105,8 +108,9 @@ def quad_corner_segment_sums(s, wx, wy, gcols, R):
         # already-touched window, contributes exactly zero
         s = jnp.concatenate([s, jnp.broadcast_to(s[-1:], (pad,))])
         zero = jnp.zeros((pad,), jnp.float32)
-        wx = jnp.concatenate([wx, zero])
-        wy = jnp.concatenate([wy, zero])
+        packed_wxy = jnp.concatenate(
+            [packed_wxy, jnp.zeros((pad,), packed_wxy.dtype)]
+        )
         gcols = tuple(jnp.concatenate([c, zero]) for c in gcols)
 
     R_pad = -(-R // W) * W
@@ -119,7 +123,7 @@ def quad_corner_segment_sums(s, wx, wy, gcols, R):
 
     args = [s_mat] + [
         a.reshape(n_blk * SUB, CH)
-        for a in (wx, wy) + tuple(gcols)
+        for a in (packed_wxy,) + tuple(gcols)
     ]
     blk_spec = pl.BlockSpec((SUB, CH), lambda i: (i, 0))
     out = pl.pallas_call(
@@ -128,7 +132,7 @@ def quad_corner_segment_sums(s, wx, wy, gcols, R):
         in_specs=[
             pl.BlockSpec((1, SUB, 2), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-        ] + [blk_spec] * 6 + [pl.BlockSpec(memory_space=pltpu.ANY)],
+        ] + [blk_spec] * 5 + [pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((16, R_pad), jnp.float32),
         scratch_shapes=[
@@ -136,7 +140,7 @@ def quad_corner_segment_sums(s, wx, wy, gcols, R):
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
-        input_output_aliases={7: 0},
+        input_output_aliases={6: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(win_info, *args, jnp.zeros((16, R_pad), jnp.float32))
     return out[:12, :R]

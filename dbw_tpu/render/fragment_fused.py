@@ -236,16 +236,9 @@ def _bwd_kernel(sigma_ref, win_ref, ids_ref, vld_ref, px_ref, py_ref,
             res,
         )
         (d_res,) = vjp(da)                                   # (8, CH)
-        # rows [x0 y0 x1 y1 x2 y2 fa] -> table rows [0..5, 9]
-        d_cols = jnp.concatenate(
-            [
-                d_res[0:6],
-                jnp.zeros((3, CH), jnp.float32),             # z rows 6-8
-                d_res[6:7],                                  # face alpha
-                jnp.zeros((6, CH), jnp.float32),             # rows 10-15
-            ],
-            axis=0,
-        )  # (16, CH)
+        # rows [x0 y0 x1 y1 x2 y2 fa pad] scattered as-is; the caller maps
+        # accumulator rows back to table rows [0..5, 9] (halves the MXU
+        # contraction vs scattering a 16-row layout with zero rows)
 
         w0 = win_ref[0, sub, 0]
         n_win = win_ref[0, sub, 1]
@@ -255,10 +248,10 @@ def _bwd_kernel(sigma_ref, win_ref, ids_ref, vld_ref, px_ref, py_ref,
             iota = jax.lax.broadcasted_iota(jnp.int32, (WIN, CH), 0) + base
             oh = (iota == s_blk).astype(jnp.float32)         # (WIN, CH)
             contrib = jax.lax.dot_general(
-                d_cols, oh, (((1,), (1,)), ((), ())),
+                d_res, oh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
-            )                                                # (16, WIN)
+            )                                                # (8, WIN)
             acc[:, pl.ds(base, WIN)] = acc[:, pl.ds(base, WIN)] + contrib
             return 0
 
@@ -371,7 +364,7 @@ def _bwd_vjp(flags, resids, cts):
     stream = pl.BlockSpec((SUB, CH), lambda i: (i, 0))
     kernel = functools.partial(_bwd_kernel, clip_inside=clip_inside,
                                F_pad=F_pad)
-    d16 = pl.pallas_call(
+    d8 = pl.pallas_call(
         kernel,
         grid=(n_blk,),
         in_specs=[
@@ -382,13 +375,16 @@ def _bwd_vjp(flags, resids, cts):
             pl.BlockSpec((8, blk), lambda i: (0, i)),
             stream,
         ],
-        out_specs=pl.BlockSpec((16, F_pad), lambda i: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((16, F_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((16, F_pad), jnp.float32)],
+        out_specs=pl.BlockSpec((8, F_pad), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((8, F_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, F_pad), jnp.float32)],
     )(sig, win, ids_m, vld_m, px_m, py_m, res, da_m)
+    zrow = jnp.zeros((1, F_pad), jnp.float32)
     d_dynT = jnp.concatenate(
-        [d16, jnp.zeros((DR - 16, F_pad), jnp.float32)], axis=0
-    )
+        [d8[0:6], zrow, zrow, zrow, d8[6:7]]
+        + [zrow] * (DR - 10),
+        axis=0,
+    )  # rows [x0..y2] -> 0..5, fa -> 9, rest zero
     # sigma gradient: alpha depends on sigma, but the training schedule
     # treats sigma as a hyperparameter (reference renderer config), so no
     # cotangent is propagated (matches the XLA path where sigma enters as

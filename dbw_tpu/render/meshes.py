@@ -229,29 +229,51 @@ def _sample_quad_bwd(TW, res, g):
     return d, None, None, None
 
 
+# bilinear weights ride the texel-gradient sort as ONE 15+15-bit
+# fixed-point payload (wx, wy in [0, 1]): 2 fewer f32 sort operands at a
+# quantization error of 1/32767 ~ 3e-5 texel units (invisible against the
+# soft rasterizer's own smoothing; exactness is NOT required here — these
+# weights only apportion d_color between the 4 corner texels)
+_WQ = 32767.0
+
+
+def _pack_wxy(wx, wy):
+    qx = jnp.round(wx * _WQ).astype(jnp.int32)
+    qy = jnp.round(wy * _WQ).astype(jnp.int32)
+    return (qx << 15) | qy
+
+
+def _unpack_wxy(p):
+    return (
+        (p >> 15).astype(jnp.float32) * (1.0 / _WQ),
+        (p & 0x7FFF).astype(jnp.float32) * (1.0 / _WQ),
+    )
+
+
 def _quad_maps_grad(TW, id00, wx, wy, g, R, out_dtype):
     """d_maps via ONE base-id sort + 12-channel segment sum + 4-shift stencil.
 
     The legacy pipeline sorts 4N concatenated corner rows; here the 4 corner
     ids of a fragment are the fixed stencil {t, t+1, t+TW, t+TW+1} of its
-    base id t, so one N-row sort (payloads: wx, wy, g) + per-base segment
-    sums of the 4 weighted products G_k, then
+    base id t, so one N-row sort (payloads: packed wx|wy, g) + per-base
+    segment sums of the 4 weighted products G_k, then
     d_maps[t] = G0[t] + G1[t-1] + G2[t-TW] + G3[t-TW-1] densely."""
     C = g.shape[-1]
     N = id00.size
     ids = id00.reshape(N)
-    cols = (wx.reshape(N).astype(jnp.float32), wy.reshape(N).astype(jnp.float32))
+    packed = _pack_wxy(
+        wx.reshape(N).astype(jnp.float32), wy.reshape(N).astype(jnp.float32)
+    )
     gf = g.reshape(N, C)
-    cols = cols + tuple(gf[:, c] for c in range(C))
+    cols = (packed,) + tuple(gf[:, c] for c in range(C))
     sorted_all = jax.lax.sort((ids,) + cols, num_keys=1)
     s = sorted_all[0]
-    swx, swy = sorted_all[1], sorted_all[2]
     if _texel_mode() == "quadk" and C == 3:
         # Pallas windowed one-hot segment-sum kernel (TPU); output is
         # channel-major (12, R) so the stencil shifts along the lane axis
         from ..ops.segment_sum_pallas import quad_corner_segment_sums
 
-        G12 = quad_corner_segment_sums(s, swx, swy, sorted_all[3:6], R)
+        G12 = quad_corner_segment_sums(s, sorted_all[1], sorted_all[2:5], R)
 
         def shift12(A, k):  # A: (C, R) -> rows shifted down the texel axis
             return jnp.concatenate(
@@ -266,7 +288,8 @@ def _quad_maps_grad(TW, id00, wx, wy, g, R, out_dtype):
         )
         return d12.T.astype(out_dtype)
     else:
-        sg = jnp.stack(sorted_all[3:], axis=-1)  # (N, C)
+        swx, swy = _unpack_wxy(sorted_all[1])
+        sg = jnp.stack(sorted_all[2:], axis=-1)  # (N, C)
         upd = jnp.concatenate(
             [
                 sg * ((1 - swx) * (1 - swy))[:, None],

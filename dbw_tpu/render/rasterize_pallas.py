@@ -63,32 +63,34 @@ def pack_faces(geom):
 
 
 def _kernel(scalars_ref, faces_ref, out_ref, keys_ref, idxs_ref, *, K, KS,
-            n_chunks, H, W, perspective_correct, clip_barycentric, z_clip):
+            n_chunks, H, W, th, tw, perspective_correct, clip_barycentric,
+            z_clip):
     blur = scalars_ref[0]
     inflate = scalars_ref[1]  # sqrt(blur): bbox inflation in NDC units
     s_inv = scalars_ref[2]    # 1 / min(H, W)
+    pt = th * tw
 
     ti = pl.program_id(1)
     tj = pl.program_id(2)
 
-    lin = jax.lax.broadcasted_iota(jnp.int32, (PT, 1), 0)
-    row = ti * TH + lin // TW
-    col = tj * TW + lin % TW
+    lin = jax.lax.broadcasted_iota(jnp.int32, (pt, 1), 0)
+    row = ti * th + lin // tw
+    col = tj * tw + lin % tw
     px = (W - 1.0 - 2.0 * col.astype(jnp.float32)) * s_inv
     py = (H - 1.0 - 2.0 * row.astype(jnp.float32)) * s_inv
 
     # tile bbox in NDC (+x at column 0, +y at row 0)
     tjf = tj.astype(jnp.float32)
     tif = ti.astype(jnp.float32)
-    tile_xmax = (W - 1.0 - 2.0 * (tjf * TW)) * s_inv + inflate
-    tile_xmin = (W - 1.0 - 2.0 * (tjf * TW + TW - 1)) * s_inv - inflate
-    tile_ymax = (H - 1.0 - 2.0 * (tif * TH)) * s_inv + inflate
-    tile_ymin = (H - 1.0 - 2.0 * (tif * TH + TH - 1)) * s_inv - inflate
+    tile_xmax = (W - 1.0 - 2.0 * (tjf * tw)) * s_inv + inflate
+    tile_xmin = (W - 1.0 - 2.0 * (tjf * tw + tw - 1)) * s_inv - inflate
+    tile_ymax = (H - 1.0 - 2.0 * (tif * th)) * s_inv + inflate
+    tile_ymin = (H - 1.0 - 2.0 * (tif * th + th - 1)) * s_inv - inflate
 
-    keys_ref[:] = jnp.full((PT, KS), BIG, jnp.float32)
-    idxs_ref[:] = jnp.full((PT, KS), -1, jnp.int32)
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (PT, KS), 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (PT, CHUNK), 1)
+    keys_ref[:] = jnp.full((pt, KS), BIG, jnp.float32)
+    idxs_ref[:] = jnp.full((pt, KS), -1, jnp.int32)
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (pt, KS), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (pt, CHUNK), 1)
 
     def process_chunk(c, _):
         base = c * CHUNK
@@ -227,7 +229,7 @@ def _kernel(scalars_ref, faces_ref, out_ref, keys_ref, idxs_ref, *, K, KS,
     # emit K slots in ascending-z order
     keys = keys_ref[:]
     idxs = idxs_ref[:]
-    ordered = jnp.full((PT, KS), -1, jnp.int32)
+    ordered = jnp.full((pt, KS), -1, jnp.int32)
     for k in range(K):
         m = jnp.min(keys, axis=-1, keepdims=True)
         sml = jnp.min(
@@ -243,15 +245,38 @@ def _kernel(scalars_ref, faces_ref, out_ref, keys_ref, idxs_ref, *, K, KS,
     out_ref[0, 0] = ordered[:, :K]
 
 
+def _tile_for(K):
+    """Pixel-tile + slot-state shape per K (sweeps in BENCH_NOTES.md).
+
+    K == 1 (hard/env pass): the running-min state is tiny and the env dome
+    covers every tile (culling can't help), so larger tiles amortize the
+    per-program chunk scan. K > 1: small tiles cull face chunks far more
+    effectively and keep the K-slot state small."""
+    import os
+
+    env = os.environ.get("DBW_SEL_TILE_K1" if K == 1 else "DBW_SEL_TILE")
+    if env:
+        th, tw, ks = (int(v) for v in env.lower().split("x"))
+        return th, tw, ks
+    # measured on v5e (BENCH_NOTES.md): 8x16 beats larger tiles for BOTH
+    # passes — bigger tiles mean (pt, CHUNK) intermediates of 64+ VREGs and
+    # the VPU starts spilling; KS=128 (one lane tile) beats smaller slot
+    # states despite touching more lanes per slot op
+    if K == 1:
+        return TH, TW, 8
+    return TH, TW, 128
+
+
 def rasterize_pallas_batched(packed_faces, blur_radius, cfg):
     """packed_faces: (B, A_PAD, F_pad). Returns pix_to_face (B, H, W, K)."""
     B, _, F_pad = packed_faces.shape
     H, W = cfg.image_size
     K = cfg.faces_per_pixel
-    KS = 128  # state slots, one lane tile (>= K)
+    th, tw, KS = _tile_for(K)
+    pt = th * tw
     assert K <= KS
-    n_th = -(-H // TH)
-    n_tw = -(-W // TW)
+    n_th = -(-H // th)
+    n_tw = -(-W // tw)
     n_chunks = F_pad // CHUNK
     s = min(H, W)
 
@@ -262,7 +287,7 @@ def rasterize_pallas_batched(packed_faces, blur_radius, cfg):
 
     kernel = functools.partial(
         _kernel, K=K, KS=KS, n_chunks=n_chunks, H=float(H), W=float(W),
-        perspective_correct=cfg.perspective_correct,
+        th=th, tw=tw, perspective_correct=cfg.perspective_correct,
         clip_barycentric=cfg.clip_barycentric, z_clip=cfg.z_clip,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -273,20 +298,20 @@ def rasterize_pallas_batched(packed_faces, blur_radius, cfg):
             pl.BlockSpec((1, A_PAD, F_pad), lambda b, i, j, s: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, PT, K), lambda b, i, j, s: (b, i * n_tw + j, 0, 0)
+            (1, 1, pt, K), lambda b, i, j, s: (b, i * n_tw + j, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((PT, KS), jnp.float32),
-            pltpu.VMEM((PT, KS), jnp.int32),
+            pltpu.VMEM((pt, KS), jnp.float32),
+            pltpu.VMEM((pt, KS), jnp.int32),
         ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, n_th * n_tw, PT, K), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, n_th * n_tw, pt, K), jnp.int32),
     )(scalars, packed_faces)
-    out = out.reshape(B, n_th, n_tw, TH, TW, K)
-    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, n_th * TH, n_tw * TW, K)
+    out = out.reshape(B, n_th, n_tw, th, tw, K)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, n_th * th, n_tw * tw, K)
     return out[:, :H, :W]
 
 

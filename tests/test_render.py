@@ -389,12 +389,13 @@ class TestQuadTexelSampling:
 
     def test_quad_matches_scatter_small_strict(self):
         """Small N: cumsum accumulation noise is negligible, so any stencil
-        mis-alignment would show as O(1) errors."""
+        mis-alignment would show as O(1) errors (the quad backward's 15-bit
+        fixed-point weight packing bounds per-fragment error at ~3e-5)."""
         maps, map_idx, uv = self._setup(N=64)
         out_q, g_q = self._run("quad", maps, map_idx, uv)
         out_r, g_r = self._run("scatter", maps, map_idx, uv)
         np.testing.assert_allclose(out_q, out_r, atol=1e-6)
-        np.testing.assert_allclose(g_q, g_r, atol=2e-5)
+        np.testing.assert_allclose(g_q, g_r, atol=2e-4)
 
     def test_quad_matches_scatter_reference(self):
         maps, map_idx, uv = self._setup()
@@ -431,7 +432,9 @@ class TestQuadTexelSampling:
             finally:
                 mm._TEXEL_MODE = old
             outs[mode] = np.asarray(g)
-        np.testing.assert_allclose(outs["quad"], outs["scatter"], atol=1e-4)
+        # 257 collisions accumulate the packed-weight quantization bias
+        # coherently (~N * 1.5e-5); stencil misalignment would be O(100)
+        np.testing.assert_allclose(outs["quad"], outs["scatter"], atol=2e-2)
         assert abs(outs["quad"].sum() - N * 3) < 1e-2
 
     @pytest.mark.skipif(
@@ -473,8 +476,9 @@ class TestQuadTexelSampling:
                 mm._TEXEL_MODE = old
             grads[mode] = (v, np.asarray(gm), np.asarray(guv))
         assert grads["quad"][0] == pytest.approx(grads["scatter"][0], rel=1e-6)
+        # maps grads carry the 15-bit packed-weight quantization (~3e-5/frag)
         np.testing.assert_allclose(grads["quad"][1], grads["scatter"][1],
-                                   atol=1e-4)
+                                   atol=5e-4)
         # uv grads equal except the measure-zero exact-boundary rows where
         # the subgradient convention differs; compare the interior rows
         np.testing.assert_allclose(grads["quad"][2][2:],
