@@ -64,7 +64,7 @@ def pack_faces(geom):
 
 def _kernel(scalars_ref, faces_ref, out_ref, keys_ref, idxs_ref, *, K, KS,
             n_chunks, H, W, th, tw, perspective_correct, clip_barycentric,
-            z_clip):
+            z_clip, hard=False):
     blur = scalars_ref[0]
     inflate = scalars_ref[1]  # sqrt(blur): bbox inflation in NDC units
     s_inv = scalars_ref[2]    # 1 / min(H, W)
@@ -123,20 +123,26 @@ def _kernel(scalars_ref, faces_ref, out_ref, keys_ref, idxs_ref, *, K, KS,
             w2 = ((x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)) * inv_area
             inside = jnp.minimum(jnp.minimum(w0, w1), w2) >= 0.0
 
-            def seg_d2(ax, ay, bx, by):
-                abx, aby = bx - ax, by - ay
-                apx, apy = px - ax, py - ay
-                denom = jnp.maximum(abx * abx + aby * aby, 1e-12)
-                t = jnp.clip((apx * abx + apy * aby) / denom, 0.0, 1.0)
-                dx = apx - t * abx
-                dy = apy - t * aby
-                return dx * dx + dy * dy
+            if hard:
+                # blur == 0 statically (hard/env pass): edge-distance
+                # coverage is dead — a pixel is covered iff inside
+                covered = inside
+            else:
+                def seg_d2(ax, ay, bx, by):
+                    abx, aby = bx - ax, by - ay
+                    apx, apy = px - ax, py - ay
+                    denom = jnp.maximum(abx * abx + aby * aby, 1e-12)
+                    t = jnp.clip((apx * abx + apy * aby) / denom, 0.0, 1.0)
+                    dx = apx - t * abx
+                    dy = apy - t * aby
+                    return dx * dx + dy * dy
 
-            d2 = jnp.minimum(
-                jnp.minimum(seg_d2(x0, y0, x1, y1), seg_d2(x1, y1, x2, y2)),
-                seg_d2(x2, y2, x0, y0),
-            )
-            covered = inside | (d2 < blur)
+                d2 = jnp.minimum(
+                    jnp.minimum(seg_d2(x0, y0, x1, y1),
+                                seg_d2(x1, y1, x2, y2)),
+                    seg_d2(x2, y2, x0, y0),
+                )
+                covered = inside | (d2 < blur)
 
             if perspective_correct:
                 iw0 = w0 / jnp.maximum(z0, 1e-8)
@@ -245,34 +251,43 @@ def _kernel(scalars_ref, faces_ref, out_ref, keys_ref, idxs_ref, *, K, KS,
     out_ref[0, 0] = ordered[:, :K]
 
 
-def _tile_for(K):
+def _tile_for(K, hard=False):
     """Pixel-tile + slot-state shape per K (sweeps in BENCH_NOTES.md).
 
-    K == 1 (hard/env pass): the running-min state is tiny and the env dome
-    covers every tile (culling can't help), so larger tiles amortize the
-    per-program chunk scan. K > 1: small tiles cull face chunks far more
-    effectively and keep the K-slot state small."""
+    K == 1 hard (env pass): no segment-distance intermediates, so a 2x
+    bigger 16x16 tile fits the VREG budget and halves the program count
+    (the env dome covers every tile — culling can't help). Everything
+    else: 8x16 — bigger tiles mean (pt, CHUNK) intermediates of 64+ VREGs
+    and the VPU starts spilling; culling also degrades with tile area."""
     import os
 
     env = os.environ.get("DBW_SEL_TILE_K1" if K == 1 else "DBW_SEL_TILE")
     if env:
         th, tw, ks = (int(v) for v in env.lower().split("x"))
         return th, tw, ks
-    # measured on v5e (BENCH_NOTES.md): 8x16 beats larger tiles for BOTH
-    # passes — bigger tiles mean (pt, CHUNK) intermediates of 64+ VREGs and
-    # the VPU starts spilling; KS=128 (one lane tile) beats smaller slot
-    # states despite touching more lanes per slot op
     if K == 1:
-        return TH, TW, 8
+        return (16, 16, 8) if hard else (TH, TW, 8)
     return TH, TW, 128
 
 
-def rasterize_pallas_batched(packed_faces, blur_radius, cfg):
-    """packed_faces: (B, A_PAD, F_pad). Returns pix_to_face (B, H, W, K)."""
+def rasterize_pallas_batched(packed_faces, blur_radius, cfg, hard=None):
+    """packed_faces: (B, A_PAD, F_pad). Returns pix_to_face (B, H, W, K).
+
+    hard: statically-known blur == 0 (the hard/env renderer config) ->
+    compile the coverage-is-inside specialization (skips the 3 segment
+    distances). Callers with a config-constant sigma pass this; otherwise
+    it is inferred only when blur_radius is a concrete scalar."""
     B, _, F_pad = packed_faces.shape
     H, W = cfg.image_size
     K = cfg.faces_per_pixel
-    th, tw, KS = _tile_for(K)
+    if hard is None:
+        try:  # concrete (python/np scalar or committed Array) blur only
+            hard = not isinstance(blur_radius, jax.core.Tracer) and (
+                float(blur_radius) == 0.0
+            )
+        except (jax.errors.ConcretizationTypeError, TypeError):
+            hard = False
+    th, tw, KS = _tile_for(K, hard)
     pt = th * tw
     assert K <= KS
     n_th = -(-H // th)
@@ -288,7 +303,7 @@ def rasterize_pallas_batched(packed_faces, blur_radius, cfg):
     kernel = functools.partial(
         _kernel, K=K, KS=KS, n_chunks=n_chunks, H=float(H), W=float(W),
         th=th, tw=tw, perspective_correct=cfg.perspective_correct,
-        clip_barycentric=cfg.clip_barycentric, z_clip=cfg.z_clip,
+        clip_barycentric=cfg.clip_barycentric, z_clip=cfg.z_clip, hard=hard,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

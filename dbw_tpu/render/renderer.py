@@ -335,6 +335,13 @@ class Renderer:
             from .rasterize_pallas import pack_faces, rasterize_pallas_batched
 
             rcfg = cfg.raster_config()
+            # sigma statically 0 (config-constant, e.g. the hard env pass)
+            # -> the selection kernel compiles its blur=0 specialization
+            hard = (
+                float(cfg.sigma if sigma is None else sigma) == 0.0
+                if sigma is None or isinstance(sigma, (int, float))
+                else False
+            )
             sigma, blur = self._sigma_blur(sigma)
             geom_b = jax.vmap(
                 lambda r, t: project_faces(
@@ -344,7 +351,7 @@ class Renderer:
             geom_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, geom_b)
             packed = jax.vmap(pack_faces)(geom_sg)
             p2f = rasterize_pallas_batched(
-                packed, jax.lax.stop_gradient(blur), rcfg
+                packed, jax.lax.stop_gradient(blur), rcfg, hard=hard
             )
             if cfg.shading == "raw":
                 # one flat fragment stream across views: the texel-gradient

@@ -73,6 +73,26 @@ def test_pallas_matches_xla(case):
     assert mismatch < 0.001
 
 
+@pytest.mark.parametrize("K", [1, 4])
+def test_pallas_hard_specialization_matches_general(K):
+    """blur == 0 statically -> the coverage-is-inside kernel; must equal
+    the general kernel fed a traced zero blur (env/hard-pass contract)."""
+    verts, faces = random_tri_soup(50, seed=7)
+    cam = Camera.from_fov(80.0)
+    cfg = RasterConfig(image_size=(32, 32), faces_per_pixel=K)
+    geom = project_faces(verts, faces, EYE, ZERO, cam)
+    packed = rp.pack_faces(geom)[None]
+    out_hard = np.asarray(
+        rp.rasterize_pallas_batched(packed, 0.0, cfg, hard=True)
+    )
+    out_gen = np.asarray(
+        jax.jit(
+            lambda p, b: rp.rasterize_pallas_batched(p, b, cfg, hard=False)
+        )(packed, jnp.float32(0.0))
+    )
+    np.testing.assert_array_equal(out_hard, out_gen)
+
+
 def test_pallas_behind_camera_culled():
     verts = jnp.asarray(
         [[0.0, 1.0, -2.0], [-1.0, -1.0, -2.0], [1.0, -1.0, -2.0]], jnp.float32
