@@ -250,6 +250,16 @@ def _unpack_wxy(p):
     )
 
 
+def _compact_div():
+    """M_cap divisor for the compacted texel backward (0/1 disables)."""
+    import os
+
+    try:
+        return int(os.environ.get("DBW_TEXEL_COMPACT_DIV", "4"))
+    except ValueError:
+        return 4
+
+
 def _quad_maps_grad(TW, id00, wx, wy, g, R, out_dtype):
     """d_maps via ONE base-id sort + 12-channel segment sum + 4-shift stencil.
 
@@ -257,7 +267,17 @@ def _quad_maps_grad(TW, id00, wx, wy, g, R, out_dtype):
     ids of a fragment are the fixed stencil {t, t+1, t+TW, t+TW+1} of its
     base id t, so one N-row sort (payloads: packed wx|wy, g) + per-base
     segment sums of the 4 weighted products G_k, then
-    d_maps[t] = G0[t] + G1[t-1] + G2[t-TW] + G3[t-TW-1] densely."""
+    d_maps[t] = G0[t] + G1[t-1] + G2[t-TW] + G3[t-TW-1] densely.
+
+    Compaction (quadk mode, large N): the dense (pixel, K) fragment layout
+    is mostly empty — typically <10% of slots carry a nonzero gradient
+    (invalid faces, zero-alpha, zero cotangent). Instead of sorting 5
+    operands over all N rows, sort ONLY (key, row-index) where zero-gradient
+    rows get a BIG key (they sort to the end), slice the first
+    M = N / DBW_TEXEL_COMPACT_DIV sorted rows, and gather the payload
+    columns for just those. If the nonzero count ever exceeds M, a
+    lax.cond falls back to the same pipeline over all N rows — bitwise
+    identical result, never dropped gradients."""
     C = g.shape[-1]
     N = id00.size
     ids = id00.reshape(N)
@@ -265,19 +285,56 @@ def _quad_maps_grad(TW, id00, wx, wy, g, R, out_dtype):
         wx.reshape(N).astype(jnp.float32), wy.reshape(N).astype(jnp.float32)
     )
     gf = g.reshape(N, C)
-    cols = (packed,) + tuple(gf[:, c] for c in range(C))
-    sorted_all = jax.lax.sort((ids,) + cols, num_keys=1)
-    s = sorted_all[0]
+    div = _compact_div()
     if _texel_mode() == "quadk" and C == 3:
-        # Pallas windowed one-hot segment-sum kernel (TPU); output is
-        # channel-major (12, R) so the stencil shifts along the lane axis
         from ..ops.segment_sum_pallas import quad_corner_segment_sums
-
-        G12 = quad_corner_segment_sums(s, sorted_all[1], sorted_all[2:5], R)
 
         def shift12(A, k):  # A: (C, R) -> rows shifted down the texel axis
             return jnp.concatenate(
                 [jnp.zeros((C, k), A.dtype), A[:, :R - k]], axis=1
+            )
+
+        if div > 1 and N >= int(
+            __import__("os").environ.get("DBW_TEXEL_COMPACT_MIN", 1 << 16)
+        ):
+            nz = jnp.any(gf != 0.0, axis=-1)
+            key = jnp.where(nz, ids, jnp.int32(1 << 30))
+            skey, sidx = jax.lax.sort(
+                (key, jnp.arange(N, dtype=jnp.int32)), num_keys=1
+            )
+            count = jnp.sum(nz.astype(jnp.int32))
+            # payloads ride one gather as a (N, 4) f32 matrix (packed ids
+            # bitcast to f32 lanes; bits round-trip exactly)
+            mat = jnp.concatenate(
+                [
+                    jax.lax.bitcast_convert_type(packed, jnp.float32)[:, None],
+                    gf,
+                ],
+                axis=1,
+            )
+            M = min(N, -(-(N // div) // 2048) * 2048)
+
+            def run(m_s, m_idx):
+                rows = mat[m_idx]  # (M, 4)
+                p = jax.lax.bitcast_convert_type(rows[:, 0], jnp.int32)
+                # sentinel-keyed rows have g == 0 (that's WHY they were
+                # dropped): clamp their id into [0, R) for kernel-window
+                # safety; zero g -> zero contribution
+                s = jnp.minimum(m_s, R - 1)
+                return quad_corner_segment_sums(
+                    s, p, (rows[:, 1], rows[:, 2], rows[:, 3]), R
+                )
+
+            G12 = jax.lax.cond(
+                count <= M,
+                lambda: run(skey[:M], sidx[:M]),
+                lambda: run(skey, sidx),
+            )
+        else:
+            cols = (packed,) + tuple(gf[:, c] for c in range(C))
+            sorted_all = jax.lax.sort((ids,) + cols, num_keys=1)
+            G12 = quad_corner_segment_sums(
+                sorted_all[0], sorted_all[1], sorted_all[2:5], R
             )
 
         d12 = (
@@ -288,6 +345,9 @@ def _quad_maps_grad(TW, id00, wx, wy, g, R, out_dtype):
         )
         return d12.T.astype(out_dtype)
     else:
+        cols = (packed,) + tuple(gf[:, c] for c in range(C))
+        sorted_all = jax.lax.sort((ids,) + cols, num_keys=1)
+        s = sorted_all[0]
         swx, swy = _unpack_wxy(sorted_all[1])
         sg = jnp.stack(sorted_all[2:], axis=-1)  # (N, C)
         upd = jnp.concatenate(

@@ -448,6 +448,53 @@ class TestQuadTexelSampling:
         np.testing.assert_allclose(out_k, out_r, atol=1e-6)
         np.testing.assert_allclose(g_k, g_r, rtol=2e-3, atol=1e-3)
 
+    @pytest.mark.parametrize("overflow", [False, True])
+    def test_compacted_backward_matches_full(self, monkeypatch, overflow):
+        """The compacted texel backward (sort only (key, idx), slice M,
+        gather payloads) must equal the full-width pipeline; when the
+        nonzero count exceeds M the lax.cond fallback must engage. The
+        Pallas segsum is monkeypatched with a dense reference so the
+        sort/slice/gather/cond logic itself is exercised on CPU."""
+        import dbw_tpu.ops.segment_sum_pallas as ssp
+        import dbw_tpu.render.meshes as mm
+
+        def ref_qcss(s, p, gcols, R):
+            wx = (p >> 15).astype(jnp.float32) / 32767.0
+            wy = (p & 0x7FFF).astype(jnp.float32) / 32767.0
+            ws = ((1 - wx) * (1 - wy), wx * (1 - wy), (1 - wx) * wy, wx * wy)
+            G = jnp.zeros((12, R), jnp.float32)
+            for c in range(4):
+                for ch in range(3):
+                    G = G.at[c * 3 + ch, :].add(
+                        jnp.zeros(R).at[s].add(ws[c] * gcols[ch])
+                    )
+            return G
+
+        monkeypatch.setattr(ssp, "quad_corner_segment_sums", ref_qcss)
+        monkeypatch.setattr(mm, "_TEXEL_MODE", "quadk")
+        monkeypatch.setenv("DBW_TEXEL_COMPACT_MIN", "0")
+
+        rng = np.random.default_rng(3)
+        N, R, TW = 4096, 200, 10
+        id00 = jnp.asarray(rng.integers(0, R - TW - 1, (N,)), jnp.int32)
+        wx = jnp.asarray(rng.random(N), jnp.float32)
+        wy = jnp.asarray(rng.random(N), jnp.float32)
+        g = jnp.asarray(rng.standard_normal((N, 3)), jnp.float32)
+        # sparse gradients: only `density` of rows are nonzero
+        density = 0.6 if overflow else 0.05  # M = N/4 -> overflow iff 0.6
+        mask = jnp.asarray(rng.random(N) < density, jnp.float32)
+        g = g * mask[:, None]
+
+        monkeypatch.setenv("DBW_TEXEL_COMPACT_DIV", "4")
+        d_compact = np.asarray(
+            mm._quad_maps_grad(TW, id00, wx, wy, g, R, jnp.float32)
+        )
+        monkeypatch.setenv("DBW_TEXEL_COMPACT_DIV", "0")
+        d_full = np.asarray(
+            mm._quad_maps_grad(TW, id00, wx, wy, g, R, jnp.float32)
+        )
+        np.testing.assert_allclose(d_compact, d_full, rtol=1e-5, atol=1e-5)
+
     def test_diff_uv_quad_matches_legacy(self):
         """Env-pass path (diff_uv=True): quad path must match the legacy
         corner-gather loop in values AND both maps and uv gradients."""
