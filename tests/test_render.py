@@ -354,6 +354,20 @@ class TestRendererModes:
         assert out.shape == (3, 8, 8, 4)
 
 
+def _ref_qcss(s, p, gcols, R):
+    """Dense reference of the Pallas quad-corner segment sum (CPU tests)."""
+    wx = (p >> 15).astype(jnp.float32) / 32767.0
+    wy = (p & 0x7FFF).astype(jnp.float32) / 32767.0
+    ws = ((1 - wx) * (1 - wy), wx * (1 - wy), (1 - wx) * wy, wx * wy)
+    G = jnp.zeros((12, R), jnp.float32)
+    for c in range(4):
+        for ch in range(3):
+            G = G.at[c * 3 + ch, :].add(
+                jnp.zeros(R).at[s].add(ws[c] * gcols[ch])
+            )
+    return G
+
+
 class TestQuadTexelSampling:
     """The quad-table texel path (one base-id sort + stencil backward) must
     match the legacy per-corner path in values AND atlas gradients."""
@@ -458,19 +472,7 @@ class TestQuadTexelSampling:
         import dbw_tpu.ops.segment_sum_pallas as ssp
         import dbw_tpu.render.meshes as mm
 
-        def ref_qcss(s, p, gcols, R):
-            wx = (p >> 15).astype(jnp.float32) / 32767.0
-            wy = (p & 0x7FFF).astype(jnp.float32) / 32767.0
-            ws = ((1 - wx) * (1 - wy), wx * (1 - wy), (1 - wx) * wy, wx * wy)
-            G = jnp.zeros((12, R), jnp.float32)
-            for c in range(4):
-                for ch in range(3):
-                    G = G.at[c * 3 + ch, :].add(
-                        jnp.zeros(R).at[s].add(ws[c] * gcols[ch])
-                    )
-            return G
-
-        monkeypatch.setattr(ssp, "quad_corner_segment_sums", ref_qcss)
+        monkeypatch.setattr(ssp, "quad_corner_segment_sums", _ref_qcss)
         monkeypatch.setattr(mm, "_TEXEL_MODE", "quadk")
         monkeypatch.setenv("DBW_TEXEL_COMPACT_MIN", "0")
 
