@@ -147,6 +147,10 @@ class Trainer:
             else:
                 self.epoch_start, self.batch_start = ckpt["epoch"], ckpt["batch"] + 1
             try:
+                if ckpt["optimizer_state"] is None:
+                    # imported reference checkpoints carry no optax state
+                    # (scripts/import_reference_ckpt.py)
+                    raise ValueError("checkpoint has no optimizer state")
                 self.opt_state = jax.tree_util.tree_map(
                     jnp.asarray, ckpt["optimizer_state"]
                 )

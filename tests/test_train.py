@@ -86,6 +86,89 @@ class TestCheckpoint:
         np.testing.assert_allclose(ckpt["model_state"].S, np.asarray(params.S))
 
 
+class TestReferenceImport:
+    def test_import_reference_torch_checkpoint(self, tmp_path):
+        """A reference-format model.pkl (torch.save: torch-tensor state_dict
+        with buffers, module. prefixes, legacy spq_ keys, torch Adam state)
+        must convert to a loadable checkpoint whose params drive a render."""
+        torch = pytest.importorskip("torch")
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        from scripts.import_reference_ckpt import import_checkpoint
+
+        m, params = tiny_params()
+        rng = np.random.default_rng(0)
+        N, TS = 2, 16
+        state_dict = {
+            # buffers the reference registers (must be dropped on import)
+            "module.sq_eta": torch.rand(42),
+            "module.block_verts_uvs": torch.rand(42, 2),
+            # legacy key name + DataParallel prefix
+            "module.spq_eps": torch.zeros(N, 2),
+            "module.R_6d_ground": torch.tensor([[1.0, 0, 0, 0, 1.0, 0]]),
+            "module.T_ground": torch.tensor([[0.0, -0.9, 0.0]]),
+            "module.S": torch.rand(N, 3).log(),
+            "module.R_6d": torch.rand(N, 6),
+            "module.T": torch.randn(N, 3),
+            "module.alpha_logit": torch.zeros(N) + 0.5,
+            "module.texture_bkg": torch.randn(1, TS, TS, 3) / 10,
+            "module.texture_ground": torch.randn(1, TS, TS, 3) / 10,
+            "module.textures": torch.randn(N, TS, TS, 3) / 10,
+        }
+        ref = {
+            "epoch": 321, "batch": 5, "model_name": "dbw",
+            "model_kwargs": {"n_blocks": N},
+            "model_state": state_dict,
+            "optimizer_state": {"state": {0: {"exp_avg": torch.zeros(3)}}},
+            "scheduler_state": {"last_epoch": 321},
+        }
+        src = tmp_path / "ref_model.pkl"
+        torch.save(ref, src)
+
+        dst = import_checkpoint(str(src), str(tmp_path / "model.pkl"))
+        ckpt = load_checkpoint(dst)
+        assert ckpt["epoch"] == 321 and ckpt["batch"] == 5
+        assert ckpt["optimizer_state"] is None
+        sp = ckpt["model_state"]
+        assert isinstance(sp, SceneParams)
+        assert sp.textures.shape == (N, TS, TS, 3)
+        assert sp.sq_eps.shape == (N, 2)  # spq_ renamed, buffers dropped
+        np.testing.assert_allclose(
+            sp.S, state_dict["module.S"].numpy(), atol=1e-7
+        )
+
+        # imported params must drive this framework's renderer
+        K = np.zeros((4, 4), np.float32)
+        K[0, 0] = K[1, 1] = 2.0
+        m.set_camera(K)
+        loaded = jax.tree_util.tree_map(jnp.asarray, sp)
+        phase = m.phase_for_epoch(321, training=False)
+        rec, _ = m.predict(
+            loaded, phase, jnp.eye(3)[None], jnp.zeros((1, 3)),
+            key=jax.random.PRNGKey(0),
+        )
+        assert np.isfinite(np.asarray(rec)).all()
+
+    def test_import_missing_param_raises(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        from scripts.import_reference_ckpt import import_checkpoint
+
+        ref = {
+            "epoch": 0, "batch": 0, "model_kwargs": {},
+            "model_state": {"S": torch.rand(2, 3)},
+        }
+        src = tmp_path / "ref.pkl"
+        torch.save(ref, src)
+        with pytest.raises(ValueError, match="missing parameters"):
+            import_checkpoint(str(src), str(tmp_path / "out.pkl"))
+
+
 @pytest.mark.slow
 class TestEndToEnd:
     def test_synthetic_optimization_reduces_loss(self, tmp_path):
