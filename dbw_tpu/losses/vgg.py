@@ -165,16 +165,21 @@ class PerceptualLoss:
         self.vgg = vgg or VGG16Features.from_env_or_random()
 
     def __call__(self, imgs, rec):
-        """imgs, rec: (B, H, W, 3) in [0, 1]."""
-        inp = jnp.concatenate([imgs, rec], axis=0)
+        """imgs, rec: (B, H, W, 3) in [0, 1].
+
+        The GT side runs as its OWN stop-gradiented VGG pass: its features
+        carry no parameter dependence, so XLA prunes that half's backward
+        conv chain entirely (the concat-then-split layout paid transposed
+        convs for the full doubled batch)."""
         if self.normalize_input:
-            inp = (inp - _IMAGENET_MEAN) / _IMAGENET_STD
-        feats = self.vgg(inp, self.max_level)
+            imgs = (imgs - _IMAGENET_MEAN) / _IMAGENET_STD
+            rec = (rec - _IMAGENET_MEAN) / _IMAGENET_STD
+        feats1 = self.vgg(jax.lax.stop_gradient(imgs), self.max_level)
+        feats2 = self.vgg(rec, self.max_level)
         losses = []
-        for lvl, f in enumerate(feats, start=1):
+        for lvl, (f1, f2) in enumerate(zip(feats1, feats2), start=1):
             if lvl not in self.feature_levels:
                 continue
-            f1, f2 = jnp.split(f, 2, axis=0)
             if self.normalize_features:
                 f1 = f1 / (jnp.linalg.norm(f1, axis=-1, keepdims=True) + 1e-10)
                 f2 = f2 / (jnp.linalg.norm(f2, axis=-1, keepdims=True) + 1e-10)
@@ -217,12 +222,14 @@ class LPIPSLoss:
         if normalize:  # [0,1] -> [-1,1] (lpips normalize=True semantics)
             imgs = imgs * 2.0 - 1.0
             rec = rec * 2.0 - 1.0
-        inp = jnp.concatenate([imgs, rec], axis=0)
-        inp = (inp - _LPIPS_SHIFT) / _LPIPS_SCALE
-        feats = self.vgg(inp, 5)
+        imgs = (imgs - _LPIPS_SHIFT) / _LPIPS_SCALE
+        rec = (rec - _LPIPS_SHIFT) / _LPIPS_SCALE
+        # GT features are parameter-free: separate stop-gradiented pass so
+        # the backward transposed convs only run over the rec half
+        feats1 = self.vgg(jax.lax.stop_gradient(imgs), 5)
+        feats2 = self.vgg(rec, 5)
         total = 0.0
-        for i, f in enumerate(feats):
-            f1, f2 = jnp.split(f, 2, axis=0)
+        for i, (f1, f2) in enumerate(zip(feats1, feats2)):
             f1 = f1 / (jnp.linalg.norm(f1, axis=-1, keepdims=True) + 1e-10)
             f2 = f2 / (jnp.linalg.norm(f2, axis=-1, keepdims=True) + 1e-10)
             d = (f1 - f2) ** 2
