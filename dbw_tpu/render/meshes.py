@@ -251,13 +251,17 @@ def _unpack_wxy(p):
 
 
 def _compact_div():
-    """M_cap divisor for the compacted texel backward (0/1 disables)."""
+    """Tightest M_cap divisor for the compacted texel backward (0/1
+    disables). The runtime picks the smallest sufficient cap from the
+    ladder [N/div, N/3, N] via lax.switch — typical scenes (<10% nonzero
+    rows) take the tight cap; denser scenes degrade gracefully instead of
+    paying the full-width pipeline the moment the tight cap overflows."""
     import os
 
     try:
-        return int(os.environ.get("DBW_TEXEL_COMPACT_DIV", "4"))
+        return int(os.environ.get("DBW_TEXEL_COMPACT_DIV", "8"))
     except ValueError:
-        return 4
+        return 8
 
 
 def _quad_maps_grad(TW, id00, wx, wy, g, R, out_dtype):
@@ -312,8 +316,6 @@ def _quad_maps_grad(TW, id00, wx, wy, g, R, out_dtype):
                 ],
                 axis=1,
             )
-            M = min(N, -(-(N // div) // 2048) * 2048)
-
             def run(m_s, m_idx):
                 rows = mat[m_idx]  # (M, 4)
                 p = jax.lax.bitcast_convert_type(rows[:, 0], jnp.int32)
@@ -325,11 +327,15 @@ def _quad_maps_grad(TW, id00, wx, wy, g, R, out_dtype):
                     s, p, (rows[:, 1], rows[:, 2], rows[:, 3]), R
                 )
 
-            G12 = jax.lax.cond(
-                count <= M,
-                lambda: run(skey[:M], sidx[:M]),
-                lambda: run(skey, sidx),
+            align = lambda m: min(N, -(-m // 2048) * 2048)
+            caps = sorted({align(N // div), align(N // 3), N})
+            branches = [
+                (lambda M=M: run(skey[:M], sidx[:M])) for M in caps
+            ]
+            which = sum(
+                (count > M).astype(jnp.int32) for M in caps[:-1]
             )
+            G12 = jax.lax.switch(which, branches)
         else:
             cols = (packed,) + tuple(gf[:, c] for c in range(C))
             sorted_all = jax.lax.sort((ids,) + cols, num_keys=1)
