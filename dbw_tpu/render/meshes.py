@@ -298,50 +298,60 @@ def _quad_maps_grad(TW, id00, wx, wy, g, R, out_dtype):
                 [jnp.zeros((C, k), A.dtype), A[:, :R - k]], axis=1
             )
 
+        def full_width():
+            # dense streams (e.g. the env pass, ~100% nonzero): the direct
+            # 5-operand sort — no slim sort, no payload gather
+            cols = (packed,) + tuple(gf[:, c] for c in range(C))
+            sorted_all = jax.lax.sort((ids,) + cols, num_keys=1)
+            return quad_corner_segment_sums(
+                sorted_all[0], sorted_all[1], sorted_all[2:5], R
+            )
+
         if div > 1 and N >= int(
             __import__("os").environ.get("DBW_TEXEL_COMPACT_MIN", 1 << 16)
         ):
             nz = jnp.any(gf != 0.0, axis=-1)
-            key = jnp.where(nz, ids, jnp.int32(1 << 30))
-            skey, sidx = jax.lax.sort(
-                (key, jnp.arange(N, dtype=jnp.int32)), num_keys=1
-            )
             count = jnp.sum(nz.astype(jnp.int32))
-            # payloads ride one gather as a (N, 4) f32 matrix (packed ids
-            # bitcast to f32 lanes; bits round-trip exactly)
-            mat = jnp.concatenate(
-                [
-                    jax.lax.bitcast_convert_type(packed, jnp.float32)[:, None],
-                    gf,
-                ],
-                axis=1,
-            )
-            def run(m_s, m_idx):
-                rows = mat[m_idx]  # (M, 4)
-                p = jax.lax.bitcast_convert_type(rows[:, 0], jnp.int32)
-                # sentinel-keyed rows have g == 0 (that's WHY they were
-                # dropped): clamp their id into [0, R) for kernel-window
-                # safety; zero g -> zero contribution
-                s = jnp.minimum(m_s, R - 1)
-                return quad_corner_segment_sums(
-                    s, p, (rows[:, 1], rows[:, 2], rows[:, 3]), R
-                )
+
+            def compacted(M):
+                def f():
+                    key = jnp.where(nz, ids, jnp.int32(1 << 30))
+                    skey, sidx = jax.lax.sort(
+                        (key, jnp.arange(N, dtype=jnp.int32)), num_keys=1
+                    )
+                    # payloads ride one gather as an (N, 4) f32 matrix
+                    # (packed ids bitcast to f32 lanes; bits round-trip
+                    # exactly)
+                    mat = jnp.concatenate(
+                        [
+                            jax.lax.bitcast_convert_type(
+                                packed, jnp.float32
+                            )[:, None],
+                            gf,
+                        ],
+                        axis=1,
+                    )
+                    rows = mat[sidx[:M]]  # (M, 4)
+                    p = jax.lax.bitcast_convert_type(rows[:, 0], jnp.int32)
+                    # sentinel-keyed rows have g == 0 (that's WHY they were
+                    # dropped): clamp their id into [0, R) for kernel-window
+                    # safety; zero g -> zero contribution
+                    s = jnp.minimum(skey[:M], R - 1)
+                    return quad_corner_segment_sums(
+                        s, p, (rows[:, 1], rows[:, 2], rows[:, 3]), R
+                    )
+
+                return f
 
             align = lambda m: min(N, -(-m // 2048) * 2048)
-            caps = sorted({align(N // div), align(N // 3), N})
-            branches = [
-                (lambda M=M: run(skey[:M], sidx[:M])) for M in caps
-            ]
-            which = sum(
-                (count > M).astype(jnp.int32) for M in caps[:-1]
-            )
+            caps = sorted(
+                {align(N // div), align(N // 3)} - {N}
+            )  # strictly-smaller caps; full width is the last resort
+            branches = [compacted(M) for M in caps] + [full_width]
+            which = sum((count > M).astype(jnp.int32) for M in caps)
             G12 = jax.lax.switch(which, branches)
         else:
-            cols = (packed,) + tuple(gf[:, c] for c in range(C))
-            sorted_all = jax.lax.sort((ids,) + cols, num_keys=1)
-            G12 = quad_corner_segment_sums(
-                sorted_all[0], sorted_all[1], sorted_all[2:5], R
-            )
+            G12 = full_width()
 
         d12 = (
             G12[0 * C:1 * C]
@@ -401,20 +411,29 @@ def _sample_quad_diff(maps_flat, id00, wx, wy, TW, TH):
 
 
 def _sample_quad_diff_fwd(maps_flat, id00, wx, wy, TW, TH):
-    out = _sample_quad_diff(maps_flat, id00, wx, wy, TW, TH)
-    return out, (maps_flat, id00, wx, wy)
+    # gather the quad rows ONCE and keep them as a residual: the backward
+    # needs the same (N, 4C) rows for the analytic d_wx/d_wy, and a ~20 MB
+    # residual is far cheaper than a second per-row gather
+    C = maps_flat.shape[-1]
+    q = _quad_table(maps_flat.astype(_quad_dtype()), TW)[id00].astype(
+        jnp.float32
+    )
+    out = (
+        q[..., 0 * C:1 * C] * ((1 - wx) * (1 - wy))[..., None]
+        + q[..., 1 * C:2 * C] * (wx * (1 - wy))[..., None]
+        + q[..., 2 * C:3 * C] * ((1 - wx) * wy)[..., None]
+        + q[..., 3 * C:4 * C] * (wx * wy)[..., None]
+    )
+    dtype_token = jnp.zeros((0,), maps_flat.dtype)
+    return out, (q, id00, wx, wy, maps_flat.shape[0], dtype_token)
 
 
 def _sample_quad_diff_bwd(TW, TH, res, g):
-    maps_flat, id00, wx, wy = res
-    R = maps_flat.shape[0]
-    C = maps_flat.shape[-1]
+    q, id00, wx, wy, R, dtype_token = res
+    C = g.shape[-1]
     d_maps = _quad_maps_grad(
         TW, id00, jax.lax.stop_gradient(wx), jax.lax.stop_gradient(wy),
-        g, R, maps_flat.dtype,
-    )
-    q = _quad_table(maps_flat.astype(_quad_dtype()), TW)[id00].astype(
-        jnp.float32
+        g, R, dtype_token.dtype,
     )
     q00, q01 = q[..., 0 * C:1 * C], q[..., 1 * C:2 * C]
     q10, q11 = q[..., 2 * C:3 * C], q[..., 3 * C:4 * C]

@@ -38,10 +38,22 @@ from jax.experimental.pallas import tpu as pltpu
 BIG = 3.0e38
 BIG_I = 2**30
 
-TH, TW = 8, 16           # pixel tile
-PT = TH * TW             # 256 pixels / program
-CHUNK = 128              # faces per streamed chunk
+TH, TW = 8, 16           # pixel tile (128 px / program)
+PT = TH * TW
+CHUNK = 128              # face-pack quantum; per-call chunk via _sel_chunk()
 A_PAD = 16               # padded attribute rows
+
+
+def _sel_chunk():
+    """Faces per streamed chunk (DBW_SEL_CHUNK; must divide F_pad, i.e. a
+    multiple/divisor-compatible power of two vs the 128 pack quantum)."""
+    import os
+
+    try:
+        c = int(os.environ.get("DBW_SEL_CHUNK", CHUNK))
+    except ValueError:
+        return CHUNK
+    return c if c in (64, 128, 256, 512) else CHUNK
 
 
 def pack_faces(geom):
@@ -63,8 +75,8 @@ def pack_faces(geom):
 
 
 def _kernel(scalars_ref, faces_ref, out_ref, keys_ref, idxs_ref, *, K, KS,
-            n_chunks, H, W, th, tw, perspective_correct, clip_barycentric,
-            z_clip, hard=False):
+            n_chunks, chunk, H, W, th, tw, perspective_correct,
+            clip_barycentric, z_clip, hard=False):
     blur = scalars_ref[0]
     inflate = scalars_ref[1]  # sqrt(blur): bbox inflation in NDC units
     s_inv = scalars_ref[2]    # 1 / min(H, W)
@@ -90,11 +102,11 @@ def _kernel(scalars_ref, faces_ref, out_ref, keys_ref, idxs_ref, *, K, KS,
     keys_ref[:] = jnp.full((pt, KS), BIG, jnp.float32)
     idxs_ref[:] = jnp.full((pt, KS), -1, jnp.int32)
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (pt, KS), 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (pt, CHUNK), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (pt, chunk), 1)
 
     def process_chunk(c, _):
-        base = c * CHUNK
-        fa = faces_ref.at[0][:, pl.ds(base, CHUNK)]  # (A_PAD, CHUNK) ref view
+        base = c * chunk
+        fa = faces_ref.at[0][:, pl.ds(base, chunk)]  # (A_PAD, chunk) ref view
 
         f_xmin = fa[10:11, :]
         f_xmax = fa[11:12, :]
@@ -292,7 +304,12 @@ def rasterize_pallas_batched(packed_faces, blur_radius, cfg, hard=None):
     assert K <= KS
     n_th = -(-H // th)
     n_tw = -(-W // tw)
-    n_chunks = F_pad // CHUNK
+    chunk = _sel_chunk()
+    if F_pad % chunk:
+        pad = -(-F_pad // chunk) * chunk - F_pad
+        packed_faces = jnp.pad(packed_faces, ((0, 0), (0, 0), (0, pad)))
+        F_pad += pad
+    n_chunks = F_pad // chunk
     s = min(H, W)
 
     blur = jnp.asarray(blur_radius, jnp.float32)
@@ -301,8 +318,9 @@ def rasterize_pallas_batched(packed_faces, blur_radius, cfg, hard=None):
     )
 
     kernel = functools.partial(
-        _kernel, K=K, KS=KS, n_chunks=n_chunks, H=float(H), W=float(W),
-        th=th, tw=tw, perspective_correct=cfg.perspective_correct,
+        _kernel, K=K, KS=KS, n_chunks=n_chunks, chunk=chunk, H=float(H),
+        W=float(W), th=th, tw=tw,
+        perspective_correct=cfg.perspective_correct,
         clip_barycentric=cfg.clip_barycentric, z_clip=cfg.z_clip, hard=hard,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
