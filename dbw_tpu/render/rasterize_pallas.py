@@ -53,7 +53,9 @@ def _sel_chunk():
         c = int(os.environ.get("DBW_SEL_CHUNK", CHUNK))
     except ValueError:
         return CHUNK
-    return c if c in (64, 128, 256, 512) else CHUNK
+    # lane-axis dynamic slices must be 128-aligned on TPU (Mosaic rejects
+    # sub-lane-tile chunk offsets)
+    return c if c in (128, 256, 512) else CHUNK
 
 
 def pack_faces(geom):

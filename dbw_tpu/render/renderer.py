@@ -174,9 +174,17 @@ class Renderer:
         view_off = jnp.repeat(
             jnp.arange(B, dtype=jnp.int32) * F, N, total_repeat_length=B * N
         )
-        # invalid fragments read their view's base row (zero cotangents by
-        # construction; keeps ids view-local for the windowed scatter kernel)
-        dyn_idx = jnp.maximum(p2f_flat, 0) + view_off
+        # invalid fragments must read SOME row (zero cotangents by
+        # construction) — pick a LOCAL one so the windowed face kernels'
+        # per-sub-chunk [min, max] id spans stay tight: the pixel's
+        # nearest-face id (slot 0), else the pixel row's max face id (sky
+        # rows collapse to one uniform id), else 0. All pure elementwise /
+        # row-broadcast ops.
+        slot0 = p2f_b[..., 0:1]                              # (B, Hs, Ws, 1)
+        row_fill = jnp.max(p2f_b[..., 0], axis=2)[:, :, None, None]
+        fill = jnp.where(slot0 >= 0, slot0, jnp.maximum(row_fill, 0))
+        fill_flat = jnp.broadcast_to(fill, p2f_b.shape).reshape(B * N)
+        dyn_idx = jnp.where(p2f_flat >= 0, p2f_flat, fill_flat) + view_off
 
         # pixel NDC centers per fragment (pure index math, no gathers)
         n_idx = jnp.arange(B * N, dtype=jnp.int32) % N
