@@ -31,6 +31,25 @@ W = 512        # output window width (texel ids)
 CH = 1024      # sorted rows per one-hot matmul
 SUB = 8        # sub-chunks per program
 
+# Wire format of the packed bilinear-weight payload: wx, wy in [0, 1]
+# quantized to 15-bit fixed point and packed (wx << 15) | wy into ONE i32
+# sort operand. THE kernel below and every producer/consumer must agree —
+# import these helpers, never re-derive the constants.
+WQ = 32767.0
+
+
+def pack_wxy(wx, wy):
+    qx = jnp.round(wx * WQ).astype(jnp.int32)
+    qy = jnp.round(wy * WQ).astype(jnp.int32)
+    return (qx << 15) | qy
+
+
+def unpack_wxy(p):
+    return (
+        (p >> 15).astype(jnp.float32) * (1.0 / WQ),
+        (p & 0x7FFF).astype(jnp.float32) * (1.0 / WQ),
+    )
+
 
 def _kernel(win_ref, s_ref, p_ref, r_ref, g_ref, b_ref, zeros_ref,
             out_ref, scratch, sem_in, sem_out):
@@ -39,8 +58,7 @@ def _kernel(win_ref, s_ref, p_ref, r_ref, g_ref, b_ref, zeros_ref,
         sl = slice(sub, sub + 1)
         s_blk = s_ref[sl, :]                      # (1, CH) int32
         p = p_ref[sl, :]                          # 15+15-bit packed wx|wy
-        wx = (p >> 15).astype(jnp.float32) * (1.0 / 32767.0)
-        wy = (p & 0x7FFF).astype(jnp.float32) * (1.0 / 32767.0)
+        wx, wy = unpack_wxy(p)
         r = r_ref[sl, :]
         g = g_ref[sl, :]
         b = b_ref[sl, :]

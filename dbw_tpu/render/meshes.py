@@ -233,21 +233,18 @@ def _sample_quad_bwd(TW, res, g):
 # fixed-point payload (wx, wy in [0, 1]): 2 fewer f32 sort operands at a
 # quantization error of 1/32767 ~ 3e-5 texel units (invisible against the
 # soft rasterizer's own smoothing; exactness is NOT required here — these
-# weights only apportion d_color between the 4 corner texels)
-_WQ = 32767.0
+# weights only apportion d_color between the 4 corner texels). The wire
+# format is owned by the consuming kernel module.
+from ..ops.segment_sum_pallas import pack_wxy as _pack_wxy
+from ..ops.segment_sum_pallas import unpack_wxy as _unpack_wxy
 
 
-def _pack_wxy(wx, wy):
-    qx = jnp.round(wx * _WQ).astype(jnp.int32)
-    qy = jnp.round(wy * _WQ).astype(jnp.int32)
-    return (qx << 15) | qy
-
-
-def _unpack_wxy(p):
-    return (
-        (p >> 15).astype(jnp.float32) * (1.0 / _WQ),
-        (p & 0x7FFF).astype(jnp.float32) * (1.0 / _WQ),
-    )
+def _compact_min():
+    """Stream length below which compaction is not attempted."""
+    try:
+        return int(os.environ.get("DBW_TEXEL_COMPACT_MIN", 1 << 16))
+    except ValueError:
+        return 1 << 16
 
 
 def _compact_div():
@@ -307,9 +304,7 @@ def _quad_maps_grad(TW, id00, wx, wy, g, R, out_dtype):
                 sorted_all[0], sorted_all[1], sorted_all[2:5], R
             )
 
-        if div > 1 and N >= int(
-            __import__("os").environ.get("DBW_TEXEL_COMPACT_MIN", 1 << 16)
-        ):
+        if div > 1 and N >= _compact_min():
             nz = jnp.any(gf != 0.0, axis=-1)
             count = jnp.sum(nz.astype(jnp.int32))
 

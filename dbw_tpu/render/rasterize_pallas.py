@@ -49,13 +49,17 @@ def _sel_chunk():
     multiple/divisor-compatible power of two vs the 128 pack quantum)."""
     import os
 
-    try:
-        c = int(os.environ.get("DBW_SEL_CHUNK", CHUNK))
-    except ValueError:
+    env = os.environ.get("DBW_SEL_CHUNK")
+    if not env:
         return CHUNK
     # lane-axis dynamic slices must be 128-aligned on TPU (Mosaic rejects
-    # sub-lane-tile chunk offsets)
-    return c if c in (128, 256, 512) else CHUNK
+    # sub-lane-tile chunk offsets); reject loudly rather than silently
+    # benchmarking the default
+    if env not in ("128", "256", "512"):
+        raise ValueError(
+            f"DBW_SEL_CHUNK={env!r}: must be one of 128, 256, 512"
+        )
+    return int(env)
 
 
 def pack_faces(geom):
@@ -277,7 +281,15 @@ def _tile_for(K, hard=False):
 
     env = os.environ.get("DBW_SEL_TILE_K1" if K == 1 else "DBW_SEL_TILE")
     if env:
-        th, tw, ks = (int(v) for v in env.lower().split("x"))
+        parts = [int(v) for v in env.lower().split("x")]
+        if len(parts) == 2:  # "16x16" -> default slot count for this K
+            parts.append(8 if K == 1 else 128)
+        th, tw, ks = parts
+        if ks < K:
+            raise ValueError(
+                f"DBW_SEL_TILE{'_K1' if K == 1 else ''}={env!r}: slot count "
+                f"{ks} < faces_per_pixel {K}"
+            )
         return th, tw, ks
     if K == 1:
         return (16, 16, 8) if hard else (TH, TW, 8)

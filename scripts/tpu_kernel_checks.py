@@ -26,7 +26,9 @@ import jax.numpy as jnp
 
 
 def check_segment_sums():
-    from dbw_tpu.ops.segment_sum_pallas import quad_corner_segment_sums
+    from dbw_tpu.ops.segment_sum_pallas import (
+        pack_wxy, quad_corner_segment_sums,
+    )
 
     rng = np.random.default_rng(0)
     N, R = 300_000, 71_424
@@ -37,11 +39,14 @@ def check_segment_sums():
 
     f = jax.jit(
         lambda s, a, b, g0, g1, g2: quad_corner_segment_sums(
-            s, a, b, (g0, g1, g2), R
+            s, pack_wxy(a, b), (g0, g1, g2), R
         )
     )
     out = np.asarray(f(ids, wx, wy, g[:, 0], g[:, 1], g[:, 2])).T
-    w = np.stack([(1 - wx) * (1 - wy), wx * (1 - wy), (1 - wx) * wy, wx * wy], 1)
+    # reference uses the same 15-bit quantized weights the kernel unpacks
+    qx = np.round(wx * 32767.0) / 32767.0
+    qy = np.round(wy * 32767.0) / 32767.0
+    w = np.stack([(1 - qx) * (1 - qy), qx * (1 - qy), (1 - qx) * qy, qx * qy], 1)
     ref = np.zeros((R, 12))
     for c in range(4):
         upd = g * w[:, c:c + 1]

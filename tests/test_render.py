@@ -356,8 +356,9 @@ class TestRendererModes:
 
 def _ref_qcss(s, p, gcols, R):
     """Dense reference of the Pallas quad-corner segment sum (CPU tests)."""
-    wx = (p >> 15).astype(jnp.float32) / 32767.0
-    wy = (p & 0x7FFF).astype(jnp.float32) / 32767.0
+    from dbw_tpu.ops.segment_sum_pallas import unpack_wxy
+
+    wx, wy = unpack_wxy(p)
     ws = ((1 - wx) * (1 - wy), wx * (1 - wy), (1 - wx) * wy, wx * wy)
     G = jnp.zeros((12, R), jnp.float32)
     for c in range(4):
