@@ -42,6 +42,8 @@ def main():
     parser.add_argument("--backend", type=str, default=None,
                         help="rasterizer backend override (xla|pallas)")
     parser.add_argument("--no-perceptual", action="store_true")
+    parser.add_argument("--blocks", type=int, default=10,
+                        help="number of superquadric blocks (reference max 50)")
     args = parser.parse_args()
 
     import jax
@@ -55,7 +57,8 @@ def main():
     if backend is None:
         backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
 
-    model = graft._make_model(with_perceptual=not args.no_perceptual)
+    model = graft._make_model(n_blocks=args.blocks,
+                              with_perceptual=not args.no_perceptual)
     for r in (model.renderer, model.renderer_env, model.renderer_viz,
               model.renderer_light):
         r.config = r.config._replace(backend=backend)
@@ -127,10 +130,18 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "optim steps/sec (DTU-shaped: 4x300x400, 10 blocks, K=10, fwd+bwd+adam)",
+                "metric": (
+                    "optim steps/sec (DTU-shaped: 4x300x400, "
+                    f"{args.blocks} blocks, K=10, fwd+bwd+adam)"
+                ),
                 "value": round(steps_per_sec, 4),
                 "unit": "steps/s",
-                "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 4),
+                # the derived reference figure is for the 10-block workload;
+                # other block counts have no published baseline to compare to
+                "vs_baseline": (
+                    round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 4)
+                    if args.blocks == 10 else None
+                ),
                 "extra": {
                     "backend": backend,
                     "device": str(jax.devices()[0].device_kind),

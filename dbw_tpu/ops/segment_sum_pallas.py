@@ -118,6 +118,8 @@ def quad_corner_segment_sums(s, packed_wxy, gcols, R):
     the kernel's per-window DMA slices run along the 128-aligned lane
     dimension.)"""
     N = s.shape[0]
+    if N == 0:
+        return jnp.zeros((12, R), jnp.float32)
     blk = SUB * CH
     n_blk = max(-(-N // blk), 1)
     pad = n_blk * blk - N
@@ -164,7 +166,7 @@ def quad_corner_segment_sums(s, packed_wxy, gcols, R):
     return out[:12, :R]
 
 
-def _small_kernel(win_ref, s_ref, updT_ref, out_ref, acc, *, n_pad_rows):
+def _small_kernel(win_ref, s_ref, updT_ref, out_ref, acc):
     @pl.when(pl.program_id(0) == 0)
     def _():
         acc[:] = jnp.zeros_like(acc)
@@ -207,6 +209,8 @@ def small_table_scatter_add(idx, upd, n_rows):
     backward (ops/scatter.py)."""
     N, C = upd.shape
     assert C <= 16, C
+    if N == 0:
+        return jnp.zeros((n_rows, C), upd.dtype)
     upd = jnp.where((idx >= 0)[:, None], upd, 0.0)
     idx = jnp.maximum(idx, 0)
     blk = SUB * CH
@@ -229,7 +233,7 @@ def small_table_scatter_add(idx, upd, n_rows):
     )  # (16, N_pad)
 
     out = pl.pallas_call(
-        functools.partial(_small_kernel, n_pad_rows=16 - C),
+        _small_kernel,
         grid=(n_blk,),
         in_specs=[
             pl.BlockSpec((1, SUB, 2), lambda i: (i, 0, 0),

@@ -31,8 +31,16 @@ def factor_devices(n, n_seeds=None):
 def make_mesh(n_seed=None, n_data=None, devices=None, n_seeds=None):
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
-    if n_seed is None or n_data is None:
+    if n_seed is None and n_data is None:
         n_seed, n_data = factor_devices(n, n_seeds=n_seeds)
+    elif n_seed is None:  # one axis given: derive the other, don't discard
+        if n % n_data:
+            raise ValueError(f"n_data={n_data} does not divide {n} devices")
+        n_seed = n // n_data
+    elif n_data is None:
+        if n % n_seed:
+            raise ValueError(f"n_seed={n_seed} does not divide {n} devices")
+        n_data = n // n_seed
     assert n_seed * n_data == n, (n_seed, n_data, n)
     arr = np.asarray(devices).reshape(n_seed, n_data)
     return Mesh(arr, ("seed", "data"))

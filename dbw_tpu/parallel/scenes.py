@@ -34,10 +34,22 @@ def make_scene_mesh(n_scene, n_seed=None, n_data=None, devices=None):
     n = len(devices)
     assert n % n_scene == 0, (n, n_scene)
     per_scene = n // n_scene
-    if n_seed is None or n_data is None:
+    if n_seed is None and n_data is None:
         from .mesh import factor_devices
 
         n_seed, n_data = factor_devices(per_scene)
+    elif n_seed is None:  # derive the missing axis, don't discard the given
+        if per_scene % n_data:
+            raise ValueError(
+                f"n_data={n_data} does not divide {per_scene} devices/scene"
+            )
+        n_seed = per_scene // n_data
+    elif n_data is None:
+        if per_scene % n_seed:
+            raise ValueError(
+                f"n_seed={n_seed} does not divide {per_scene} devices/scene"
+            )
+        n_data = per_scene // n_seed
     assert n_seed * n_data == per_scene, (n_seed, n_data, per_scene)
     arr = np.asarray(devices).reshape(n_scene, n_seed, n_data)
     return Mesh(arr, ("scene", "seed", "data"))

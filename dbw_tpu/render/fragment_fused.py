@@ -99,6 +99,19 @@ def _seg_d2(ax, ay, bx, by, px, py):
     return dx * dx + dy * dy
 
 
+def _bary2d(x0, y0, x1, y1, x2, y2, px, py):
+    """2D barycentric weights — THE one copy of the formula (identical to
+    rasterize.py / renderer.py's XLA path numerics)."""
+    area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+    inv_area = jnp.where(
+        jnp.abs(area) > 1e-12, 1.0 / jnp.where(area == 0.0, 1.0, area), 0.0
+    )
+    w0 = ((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)) * inv_area
+    w1 = ((x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)) * inv_area
+    w2 = ((x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)) * inv_area
+    return w0, w1, w2
+
+
 def _alpha_math(res, px, py, vld, sigma, *, clip_inside):
     """Coverage alpha from the 8-row residual [x0 y0 x1 y1 x2 y2 fa pad].
 
@@ -110,13 +123,7 @@ def _alpha_math(res, px, py, vld, sigma, *, clip_inside):
     x2, y2 = res[4:5], res[5:6]
     fa = res[6:7]
 
-    area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
-    inv_area = jnp.where(
-        jnp.abs(area) > 1e-12, 1.0 / jnp.where(area == 0.0, 1.0, area), 0.0
-    )
-    w0 = ((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)) * inv_area
-    w1 = ((x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)) * inv_area
-    w2 = ((x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)) * inv_area
+    w0, w1, w2 = _bary2d(x0, y0, x1, y1, x2, y2, px, py)
     inside = jnp.minimum(jnp.minimum(w0, w1), w2) >= 0.0
 
     d2 = jnp.minimum(
@@ -149,13 +156,7 @@ def _uv_math(cols, px, py, *, persp, clip_bary, TH, TW):
     u2, v2 = cols[16:17], cols[17:18]
     mi = cols[18:19]
 
-    area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
-    inv_area = jnp.where(
-        jnp.abs(area) > 1e-12, 1.0 / jnp.where(area == 0.0, 1.0, area), 0.0
-    )
-    w0 = ((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)) * inv_area
-    w1 = ((x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)) * inv_area
-    w2 = ((x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)) * inv_area
+    w0, w1, w2 = _bary2d(x0, y0, x1, y1, x2, y2, px, py)
     if persp:
         iw0 = w0 / jnp.maximum(z0, 1e-8)
         iw1 = w1 / jnp.maximum(z1, 1e-8)
@@ -215,7 +216,7 @@ def _fwd_kernel(sigma_ref, win_ref, ids_ref, vld_ref, px_ref, py_ref,
 
 
 def _bwd_kernel(sigma_ref, win_ref, ids_ref, vld_ref, px_ref, py_ref,
-                res_ref, da_ref, out_ref, acc, *, clip_inside, F_pad):
+                res_ref, da_ref, out_ref, acc, *, clip_inside):
     @pl.when(pl.program_id(0) == 0)
     def _():
         acc[:] = jnp.zeros_like(acc)
@@ -268,7 +269,12 @@ def _pad_streams(ids, vld, px, py):
     n_blk = max(-(-N // blk), 1)
     pad = n_blk * blk - N
     if pad:
-        ids = jnp.concatenate([ids, jnp.zeros((pad,), ids.dtype)])
+        # pad with the LAST real id (vld stays 0): the tail sub-chunks'
+        # [min, max] window spans stay tight instead of stretching to row 0
+        ids = jnp.concatenate(
+            [ids, jnp.broadcast_to(ids[-1:], (pad,))]
+            if ids.size else [ids, jnp.zeros((pad,), ids.dtype)]
+        )
         z = jnp.zeros((pad,), jnp.float32)
         vld = jnp.concatenate([vld, z])
         px = jnp.concatenate([px, z])
@@ -339,7 +345,7 @@ def _fwd(dynT, ids, vld, px, py, sigma, flags):
     )(sig, win, ids_m, vld_m, px_m, py_m, dynT)
     out = (id00.reshape(-1)[:N], wx.reshape(-1)[:N], wy.reshape(-1)[:N],
            alpha.reshape(-1)[:N])
-    return out, (ids_m, vld_m, px_m, py_m, res, sig, n_blk, F_pad)
+    return out, (ids_m, vld_m, px_m, py_m, res, sig, n_blk, F_pad, win)
 
 
 def _fwd_vjp(dynT, ids, vld, px, py, sigma, flags):
@@ -349,7 +355,7 @@ def _fwd_vjp(dynT, ids, vld, px, py, sigma, flags):
 
 def _bwd_vjp(flags, resids, cts):
     _, _, clip_inside, _, _ = flags
-    ids_m, vld_m, px_m, py_m, res, sig, n_blk, F_pad = resids
+    ids_m, vld_m, px_m, py_m, res, sig, n_blk, F_pad, win = resids
     d_alpha = cts[3]
     N = d_alpha.shape[0]
     blk = SUB * CH
@@ -359,11 +365,9 @@ def _bwd_vjp(flags, resids, cts):
             [d_alpha, jnp.zeros((pad,), jnp.float32)]
         )
     da_m = d_alpha.reshape(n_blk * SUB, CH)
-    win = _win_info(ids_m, n_blk)
 
     stream = pl.BlockSpec((SUB, CH), lambda i: (i, 0))
-    kernel = functools.partial(_bwd_kernel, clip_inside=clip_inside,
-                               F_pad=F_pad)
+    kernel = functools.partial(_bwd_kernel, clip_inside=clip_inside)
     d8 = pl.pallas_call(
         kernel,
         grid=(n_blk,),

@@ -126,7 +126,7 @@ class MultiSeedTrainer:
                 for k, v in self.scheduler.lrs(epoch - 1).items()
             }
             loss_sums[:] = 0.0
-            n_steps = 0
+            n_seen = 0
             for inp, _ in self.train_loader:
                 imgs, n_real = _pad(inp["imgs"], self.batch_size)
                 R, _ = _pad(inp["R"], self.batch_size)
@@ -137,16 +137,19 @@ class MultiSeedTrainer:
                     jnp.asarray(imgs), jnp.asarray(R), jnp.asarray(T),
                     phase, lrs, jnp.stack(keys),
                 )
-                loss_sums += np.asarray(losses)
-                n_steps += 1
+                # per-view weighting: a padded remainder batch (duplicates
+                # of its last view) counts only its real views, so the
+                # logged/selected per-seed loss is the mean over views seen
+                loss_sums += np.asarray(losses) * n_real
+                n_seen += n_real
             if epoch % max(self.n_epoches // 10, 1) == 0 or epoch == 1:
                 print_log(
                     f"[multi-seed] epoch {epoch}/{self.n_epoches} "
-                    f"losses={np.round(loss_sums / max(n_steps, 1), 5).tolist()} "
+                    f"losses={np.round(loss_sums / max(n_seen, 1), 5).tolist()} "
                     f"({time.time() - t0:.1f}s)"
                 )
 
-        final_losses = loss_sums / max(n_steps, 1)
+        final_losses = loss_sums / max(n_seen, 1)
         # padded duplicate-seed slots are excluded from selection
         masked = np.where(
             np.arange(len(self.seeds)) < self.n_valid, final_losses, np.inf

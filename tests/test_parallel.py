@@ -26,6 +26,18 @@ def test_factor_devices():
     assert factor_devices(4, n_seeds=9) == (4, 1)
 
 
+def test_make_mesh_partial_axis_derives_other():
+    # one axis given: the other is derived, NOT re-factored from scratch
+    m = make_mesh(n_seed=4)
+    assert dict(m.shape) == {"seed": 4, "data": 2}
+    m = make_mesh(n_data=4)
+    assert dict(m.shape) == {"seed": 2, "data": 4}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        make_mesh(n_seed=3)  # 3 does not divide 8
+
+
 def test_five_seeds_on_eight_devices():
     """The flagship 5-seed DTU protocol maps onto a v5e-8 via padded seed
     slots excluded from selection."""
