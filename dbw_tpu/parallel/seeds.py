@@ -62,10 +62,10 @@ class MultiSeedRunner:
         self.n_seed_devices = mesh.shape["seed"]
         self.n_data = mesh.shape["data"]
         self._step = self._build_step()
+        self._multi = self._build_multi_step()
 
-    def _build_step(self):
+    def _per_seed(self):
         model, optimizer = self.model, self.optimizer
-        mesh = self.mesh
 
         def per_seed(params, opt_state, imgs, R, T, phase, lrs, key):
             def loss_fn(p):
@@ -80,6 +80,12 @@ class MultiSeedRunner:
             updates, opt_state = optimizer.update(grads, opt_state, lrs)
             params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
             return params, opt_state, losses["total"]
+
+        return per_seed
+
+    def _build_step(self):
+        mesh = self.mesh
+        per_seed = self._per_seed()
 
         @partial(
             shard_map,
@@ -100,6 +106,48 @@ class MultiSeedRunner:
             return step(params, opt_state, keys)
 
         return jax.jit(sharded_step, donate_argnums=(0, 1))
+
+    def _build_multi_step(self):
+        mesh = self.mesh
+        per_seed = self._per_seed()
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(
+                P("seed"), P("seed"),                         # params, opt
+                P(None, "data"), P(None, "data"), P(None, "data"),
+                P(), P(), P(None, "seed"),                    # phase, lrs, keys
+            ),
+            out_specs=(P("seed"), P("seed"), P(None, "seed")),
+            check_vma=False,
+        )
+        def sharded_multi(params, opt_state, imgs_s, R_s, T_s, phase, lrs,
+                          keys_s):
+            # leading axis of imgs_s/R_s/T_s/keys_s = scanned optimizer steps
+            def body(carry, xs):
+                p, o = carry
+                imgs, R, T, keys = xs
+                p, o, loss = jax.vmap(
+                    lambda pp, oo, k: per_seed(pp, oo, imgs, R, T, phase,
+                                               lrs, k)
+                )(p, o, keys)
+                return (p, o), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (imgs_s, R_s, T_s, keys_s)
+            )
+            return params, opt_state, losses  # (SPC, S_local)
+
+        return jax.jit(sharded_multi, donate_argnums=(0, 1))
+
+    def multi_step(self, stacked_params, stacked_opt, imgs_s, R_s, T_s,
+                   phase, lrs, keys_s):
+        """SPC scanned optimizer steps in ONE device program: imgs_s/R_s/T_s
+        have a leading (SPC,) axis over batches, keys_s is (SPC, S, 2).
+        Returns (params, opt, losses (SPC, S))."""
+        return self._multi(stacked_params, stacked_opt, imgs_s, R_s, T_s,
+                           phase, lrs, keys_s)
 
     def step(self, stacked_params, stacked_opt, imgs, R, T, phase, lrs, keys):
         """stacked_params/opt: leading S axis; imgs/R/T: (B, ...) global batch

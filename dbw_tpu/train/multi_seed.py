@@ -92,13 +92,17 @@ class MultiSeedTrainer:
 
         model, optimizer = self.model, self.optimizer
 
+        self.steps_per_call = int(
+            cfg["training"].get("steps_per_call", 1)
+        )
         if self._mesh is not None:
             from ..parallel.seeds import MultiSeedRunner
 
-            self._step = MultiSeedRunner(model, optimizer, self._mesh).step
+            runner = MultiSeedRunner(model, optimizer, self._mesh)
+            self._step = runner.step
+            self._multi_step = runner.multi_step
         else:
-            @partial(jax.jit, donate_argnums=(0, 1))
-            def step(params_S, opt_S, imgs, R, T, phase, lrs, keys):
+            def one_step(params_S, opt_S, imgs, R, T, phase, lrs, keys):
                 def one(p, o, k):
                     def loss_fn(pp):
                         losses = model.forward(pp, phase, imgs, R, T, k)
@@ -113,7 +117,23 @@ class MultiSeedTrainer:
 
                 return jax.vmap(one)(params_S, opt_S, keys)
 
-            self._step = step
+            self._step = jax.jit(one_step, donate_argnums=(0, 1))
+
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def multi_step(params_S, opt_S, imgs_s, R_s, T_s, phase, lrs,
+                           keys_s):
+                def body(carry, xs):
+                    p, o = carry
+                    imgs, R, T, keys = xs
+                    p, o, loss = one_step(p, o, imgs, R, T, phase, lrs, keys)
+                    return (p, o), loss
+
+                (params_S, opt_S), losses = jax.lax.scan(
+                    body, (params_S, opt_S), (imgs_s, R_s, T_s, keys_s)
+                )
+                return params_S, opt_S, losses
+
+            self._multi_step = multi_step
 
     def run(self):
         S = len(self.seeds)
@@ -127,21 +147,54 @@ class MultiSeedTrainer:
             }
             loss_sums[:] = 0.0
             n_seen = 0
-            for inp, _ in self.train_loader:
-                imgs, n_real = _pad(inp["imgs"], self.batch_size)
-                R, _ = _pad(inp["R"], self.batch_size)
-                T, _ = _pad(inp["T"], self.batch_size)
-                self._key, *keys = jax.random.split(self._key, S + 1)
-                self.params, self.opt_state, losses = self._step(
-                    self.params, self.opt_state,
-                    jnp.asarray(imgs), jnp.asarray(R), jnp.asarray(T),
-                    phase, lrs, jnp.stack(keys),
-                )
+            pending = []
+            batches = list(self.train_loader)
+
+            def run_group(group):
+                nonlocal n_seen
+                imgs_l, R_l, T_l, n_reals = [], [], [], []
+                for inp, _ in group:
+                    imgs, n_real = _pad(inp["imgs"], self.batch_size)
+                    R, _ = _pad(inp["R"], self.batch_size)
+                    T, _ = _pad(inp["T"], self.batch_size)
+                    imgs_l.append(imgs)
+                    R_l.append(R)
+                    T_l.append(T)
+                    n_reals.append(n_real)
+                spc = len(group)
+                self._key, *keys = jax.random.split(self._key, spc * S + 1)
+                keys_s = jnp.stack(keys).reshape(spc, S, 2)
+                if spc == 1:
+                    self.params, self.opt_state, losses = self._step(
+                        self.params, self.opt_state,
+                        jnp.asarray(imgs_l[0]), jnp.asarray(R_l[0]),
+                        jnp.asarray(T_l[0]), phase, lrs, keys_s[0],
+                    )
+                    losses = np.asarray(losses)[None]
+                else:
+                    self.params, self.opt_state, losses = self._multi_step(
+                        self.params, self.opt_state,
+                        jnp.asarray(np.stack(imgs_l)),
+                        jnp.asarray(np.stack(R_l)),
+                        jnp.asarray(np.stack(T_l)),
+                        phase, lrs, keys_s,
+                    )
+                    losses = np.asarray(losses)
                 # per-view weighting: a padded remainder batch (duplicates
                 # of its last view) counts only its real views, so the
                 # logged/selected per-seed loss is the mean over views seen
-                loss_sums += np.asarray(losses) * n_real
-                n_seen += n_real
+                for i, n_real in enumerate(n_reals):
+                    loss_sums[:] = loss_sums + losses[i] * n_real
+                    n_seen += n_real
+
+            SPC = max(self.steps_per_call, 1)
+            for b in batches:
+                pending.append(b)
+                if len(pending) == SPC:
+                    run_group(pending)
+                    pending = []
+            for b in pending:  # ragged tail: single-step program
+                run_group([b])
             if epoch % max(self.n_epoches // 10, 1) == 0 or epoch == 1:
                 print_log(
                     f"[multi-seed] epoch {epoch}/{self.n_epoches} "

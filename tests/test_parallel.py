@@ -127,6 +127,70 @@ def test_multi_seed_runner_step_matches_single(tmp_path):
 
 
 @pytest.mark.slow
+def test_multi_seed_runner_scanned_matches_sequential():
+    """multi_step (SPC steps scanned in one program) must equal SPC
+    sequential step() calls exactly."""
+    from dbw_tpu.models.dbw import BlocksWorld
+    from dbw_tpu.train.optimizer import create_optimizer
+
+    model = BlocksWorld(
+        (16, 24),
+        mesh=dict(n_blocks=2, txt_size=16),
+        renderer=dict(faces_per_pixel=2),
+        rend_optim=dict(decouple_rendering=True),
+        loss=dict(rgb_weight=1),
+    )
+    K = np.zeros((4, 4), np.float32)
+    K[0, 0] = K[1, 1] = 2.0
+    model.set_camera(K)
+
+    mesh = make_mesh()
+    S = mesh.shape["seed"]
+    n_data = mesh.shape["data"]
+    params_list = [model.init_params(seed=s) for s in range(S)]
+    cfg = {"training": {"optimizer": {"name": "adam", "lr": 1e-2}}}
+    opt = create_optimizer(cfg, params_list[0])
+    runner = MultiSeedRunner(model, opt, mesh)
+
+    from dbw_tpu.ops.rotations import look_at_rotation
+
+    B = n_data * 2
+    SPC = 3
+    R, T = look_at_rotation(3.0, 20.0, jnp.linspace(-30.0, 30.0, B))
+    rng = np.random.default_rng(0)
+    imgs_s = jnp.asarray(rng.random((SPC, B, 16, 24, 3), np.float32))
+    R_s = jnp.broadcast_to(R, (SPC, *R.shape))
+    T_s = jnp.broadcast_to(T, (SPC, *T.shape))
+    phase = model.phase_for_epoch(0, training=True)
+    lrs = {"main": jnp.float32(1e-2), "texture": jnp.float32(1e-2)}
+    keys_s = jax.random.split(jax.random.PRNGKey(3), SPC * S).reshape(
+        SPC, S, 2
+    )
+
+    stacked = stack_params(params_list)
+    opt_states = stack_params([opt.init(p) for p in params_list])
+
+    p_seq, o_seq = stacked, opt_states
+    seq_losses = []
+    for i in range(SPC):
+        p_seq, o_seq, l = runner.step(
+            p_seq, o_seq, imgs_s[i], R_s[i], T_s[i], phase, lrs, keys_s[i]
+        )
+        seq_losses.append(np.asarray(l))
+
+    p_m, o_m, losses_m = runner.multi_step(
+        stacked, opt_states, imgs_s, R_s, T_s, phase, lrs, keys_s
+    )
+    np.testing.assert_allclose(
+        np.asarray(losses_m), np.stack(seq_losses), rtol=1e-6, atol=1e-7
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_m), jax.tree_util.tree_leaves(p_seq)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_multi_seed_trainer_e2e(tmp_path):
     from dbw_tpu.train.multi_seed import MultiSeedTrainer
 
@@ -141,7 +205,7 @@ def test_multi_seed_trainer_e2e(tmp_path):
             "loss": dict(rgb_weight=1),
         },
         "training": {
-            "batch_size": 2, "n_epoches": 3,
+            "batch_size": 2, "n_epoches": 3, "steps_per_call": 2,
             "optimizer": {"name": "adam", "lr": 5e-3},
             "scheduler": {"name": "multi_step", "milestones": []},
             "train_stat_interval": 5, "val_stat_interval": 5, "seed": 1,
