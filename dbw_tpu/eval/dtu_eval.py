@@ -80,6 +80,10 @@ def greedy_radius_downsample(points, radius=DOWNSAMPLE_DENSITY):
     filter when available (O(n), no Python loop), scipy fallback otherwise."""
     from ..native import greedy_radius_downsample_native
 
+    # both paths run on float32 so borderline radius comparisons resolve
+    # identically with and without the native library (environment-stable
+    # protocol scores; DTU coords are mm-scale, f32 eps ~ 1e-4 mm here)
+    points = np.ascontiguousarray(points, np.float32)
     mask = greedy_radius_downsample_native(points, radius)
     if mask is None:
         tree = cKDTree(points)

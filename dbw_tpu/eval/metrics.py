@@ -162,9 +162,11 @@ class MeshEvaluator:
             verts, faces, self.N, rng, return_normals=True
         )
         pc_gt = np.asarray(pc_gt, np.float32)
-        if norm_gt is not None and self.N < len(pc_gt):
+        if self.N < len(pc_gt):  # subsample with or without normals
             sel = rng.permutation(len(pc_gt))[: self.N]
-            pc_gt, norm_gt = pc_gt[sel], norm_gt[sel]
+            pc_gt = pc_gt[sel]
+            if norm_gt is not None:
+                norm_gt = norm_gt[sel]
 
         rounds = [(pc_pred, norm_pred, "")]
         if self.run_icp:
@@ -178,11 +180,19 @@ class MeshEvaluator:
             pc2, norm2 = sample_points_from_mesh(
                 verts_n, faces, self.N, rng, return_normals=True
             )
-            pc_icp, _ = gradient_icp(
+            pc_icp, (R_icp, _, s_icp) = gradient_icp(
                 pc2[None], pc_gt[None], self.estimate_scale, self.ani_scale,
                 lr=0.01, n_iter=self.n_iter,
             )
-            rounds.append((np.asarray(pc_icp[0]), norm2, "-ICP"))
+            # normals transform by the inverse-transpose of diag(s) R
+            # (row-vector convention): n' = normalize((n / s) @ R)
+            R0 = np.asarray(R_icp[0])
+            s0 = np.asarray(s_icp[0]).reshape(1, -1)
+            norm_icp = (norm2 / np.maximum(s0, EPS)) @ R0
+            norm_icp = norm_icp / np.maximum(
+                np.linalg.norm(norm_icp, axis=-1, keepdims=True), EPS
+            )
+            rounds.append((np.asarray(pc_icp[0]), norm_icp, "-ICP"))
 
         results = []
         for pc, norm, tag in rounds:

@@ -60,9 +60,9 @@ def qualitative_eval(model, params, loader, path, NV=240, n_views=10,
     syn_blocks, syn_aux = model.build_blocks(params, phase, synthetic=True)
     if int(np.asarray(syn_aux["mask"]).sum()) == 0:
         return None
-    colors = model.get_scene_face_colors(params, filter_transparent=True, w_env=False)
-    # pad palette to per-face colors of the FULL static scene for overlays
-    full_colors = _pad_block_colors(model, params)
+    full_colors = model.get_scene_face_colors(
+        params, filter_transparent=True, w_env=False
+    )
 
     @jax.jit
     def render(R, T):
@@ -133,14 +133,3 @@ def _render_batched(render_fn, R, T, chunk=10):
         out.append(imgs[: chunk - pad if pad else chunk])
     return np.concatenate(out)
 
-
-def _pad_block_colors(model, params):
-    """Per-face palette for the static blocks scene (dead blocks get black —
-    they are collapsed and never rasterized)."""
-    from ..utils.colors import fancy_colormap
-
-    vals = np.linspace(0, 1, model.n_blocks + 1)[1:]
-    colors = fancy_colormap(vals)
-    return jnp.asarray(
-        np.repeat(colors, model.BNF, axis=0), jnp.float32
-    )

@@ -20,7 +20,7 @@ from .metrics import AverageMeter
 
 def quantitative_eval(model, params, loader, hard_inference=True, lpips=None):
     opacities = np.asarray(model.get_opacities(params))
-    n_blocks = int((opacities > 0.5).sum())
+    n_blocks = model.get_nb_opaque_blocks(params)
     lpips = lpips or LPIPSLoss(
         vgg=model.perceptual_loss.vgg if model.perceptual_loss else None
     )
@@ -47,6 +47,8 @@ def quantitative_eval(model, params, loader, hard_inference=True, lpips=None):
         for k in ["L_tot", "L_rec", "PSNR", "SSIM", lpips_col]
     }
     key = jax.random.PRNGKey(0)
+    # scene/aux depend only on (params, phase): build once, not per batch
+    aux = _loss_aux(model, params, phase)
     for inp, labels in loader:
         imgs = jnp.asarray(inp["imgs"])
         R, T = jnp.asarray(inp["R"]), jnp.asarray(inp["T"])
@@ -55,10 +57,7 @@ def quantitative_eval(model, params, loader, hard_inference=True, lpips=None):
             rec = render_hard(R, T)
         else:
             rec, _ = model.predict(params, phase, R, T)
-        losses = model.compute_losses(
-            imgs, rec, params, phase,
-            _loss_aux(model, params, phase), key=key,
-        )
+        losses = model.compute_losses(imgs, rec, params, phase, aux, key=key)
         s = score(imgs, rec)
         meters["L_tot"].update(float(losses["total"]), N=n)
         rec_terms = sum(

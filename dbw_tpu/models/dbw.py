@@ -119,8 +119,12 @@ class BlocksWorld:
         assert not unused, f"unknown model config keys: {unused}"
         if backend is None:
             # Pallas selection kernel on TPU (4x faster than the XLA
-            # backend, see BENCH_NOTES.md); pure-XLA elsewhere
-            backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+            # backend, see BENCH_NOTES.md); pure-XLA elsewhere — the kernel
+            # uses pallas.tpu primitives, so GPU/other backends get XLA
+            backend = (
+                "pallas"
+                if jax.default_backend() in ("tpu", "axon") else "xla"
+            )
         mesh = dict(mesh or {})
         renderer = dict(renderer or {})
         rend_optim = dict(rend_optim or {})
@@ -659,6 +663,10 @@ class BlocksWorld:
             dx = tv(jnp.diff(bm, axis=2, append=bm[:, :, 0:1]))
             dy = tv(jnp.diff(bm, axis=1))
             tv_loss += dx.sum(0).mean() + dy.sum(0).mean()
+            # NOTE: the ground term is factor-scaled INSIDE the sum and the
+            # whole tv_loss is factor-scaled again — so ground TV gets
+            # factor^2 in the fine phase. That is the reference's exact
+            # behavior (dbw.py:386-387), kept for parity.
             tv_loss += (
                 tv(jnp.diff(ground_m, axis=1)).mean()
                 + tv(jnp.diff(ground_m, axis=2)).mean()
@@ -712,14 +720,18 @@ class BlocksWorld:
 
     def get_scene_face_colors(self, params, filter_transparent=False, w_env=True):
         """Per-face synthetic palette for edge overlays (reference
-        dbw.py:421-431). Host-side (dynamic shapes allowed)."""
+        dbw.py:421-431). Scenes here are STATIC full-N (dead blocks are
+        collapsed in place, never dropped), so the table always has
+        env + N*BNF rows with POSITIONAL alignment; the reference's
+        dynamic filtering maps to blacking out dead blocks' colors (their
+        zero-area faces never rasterize anyway)."""
         vals = np.linspace(0, 1, self.n_blocks + 1)[1:]
+        colors = fancy_colormap(vals)
         op = np.asarray(self.get_opacities(params))
         if filter_transparent:
-            vals = vals[op > 0.5]
+            colors = np.where((op > 0.5)[:, None], colors, 0.0)
         elif self.kill_blocks:
-            vals = vals[op > 0.01]
-        colors = fancy_colormap(vals)
+            colors = np.where((op > 0.01)[:, None], colors, 0.0)
         nfe = self.env_n_faces if w_env else 0
         face_vals = np.concatenate(
             [np.zeros((nfe, 3)), np.repeat(colors, self.BNF, axis=0)], axis=0

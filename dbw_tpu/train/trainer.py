@@ -84,8 +84,9 @@ class Trainer:
         self._predict_fn = None
         self._predict_syn_fn = None
 
-        # metric streams
-        append = self.epoch_start > 1
+        # metric streams: append whenever ANY prior progress exists (a
+        # mid-first-epoch resume must not truncate the logged history)
+        append = self.epoch_start > 1 or self.batch_start > 1
         self.train_stat_interval = cfg["training"]["train_stat_interval"]
         self.val_stat_interval = cfg["training"]["val_stat_interval"]
         self.save_epoches = cfg["training"].get("save_epoches", [])
@@ -125,7 +126,9 @@ class Trainer:
 
     @property
     def with_training(self):
-        return self.epoch_start < self.n_epoches
+        # the epoch loop runs range(epoch_start, n_epoches + 1), so a resume
+        # AT the final epoch still trains it
+        return self.epoch_start <= self.n_epoches
 
     def load_from(self, cfg):
         """pretrained = weights only; resume = full state + curriculum cursor
@@ -324,10 +327,10 @@ class Trainer:
             if epoch in self.save_epoches:
                 self.save(epoch=epoch, batch=self.n_batches, checkpoint=True)
 
-        N, B = (
-            (self.n_epoches, self.n_batches)
-            if self.with_training else (self.epoch_start, self.batch_start)
-        )
+        if self.with_training:
+            N, B = self.n_epoches, self.n_batches
+        else:  # eval-only resume of a completed run: keep the true cursor
+            N, B = self.epoch_start - 1, self.n_batches
         self.save(epoch=N, batch=B)
         self.save_metric_plots()
         self.evaluate()
