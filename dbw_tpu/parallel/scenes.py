@@ -72,6 +72,7 @@ class MultiSceneRunner:
         self.optimizer = optimizer
         self.mesh = mesh
         self._step = self._build_step()
+        self._multi = self._build_multi_step()
 
     def _build_step(self):
         model, optimizer = self.model, self.optimizer
@@ -120,10 +121,37 @@ class MultiSceneRunner:
                 )
             )(K, params, opt, imgs, R, T, keys)
 
+        self._sharded_raw = sharded  # un-jitted: reused by the scanned path
         return jax.jit(sharded, donate_argnums=(1, 2))
+
+    def _build_multi_step(self):
+        step_inner = self._sharded_raw
+
+        @partial(jax.jit, donate_argnums=(1, 2))
+        def multi(K, params, opt, imgs_s, R_s, T_s, phase, lrs, keys_s):
+            def body(carry, xs):
+                p, o = carry
+                imgs, R, T, keys = xs
+                p, o, loss = step_inner(K, p, o, imgs, R, T, phase, lrs, keys)
+                return (p, o), loss
+
+            (params, opt), losses = jax.lax.scan(
+                body, (params, opt), (imgs_s, R_s, T_s, keys_s)
+            )
+            return params, opt, losses
+
+        return multi
 
     def step(self, K, params, opt, imgs, R, T, phase, lrs, keys):
         return self._step(K, params, opt, imgs, R, T, phase, lrs, keys)
+
+    def multi_step(self, K, params, opt, imgs_s, R_s, T_s, phase, lrs,
+                   keys_s):
+        """SPC scanned optimizer steps in one program: imgs_s/R_s/T_s carry
+        a leading (SPC,) axis over batches, keys_s is (SPC, n_scene, S, 2).
+        Returns (params, opt, losses (SPC, n_scene, S))."""
+        return self._multi(K, params, opt, imgs_s, R_s, T_s, phase, lrs,
+                           keys_s)
 
 
 def stack_scene_params(per_scene_params_lists):

@@ -309,6 +309,30 @@ def test_multi_scene_runner_2x2x2():
     # different cameras must actually produce different scene losses
     assert not np.allclose(np.asarray(losses)[0], np.asarray(losses)[1])
 
+    # scanned multi_step: 2 steps in one program == 2 sequential steps
+    rng = np.random.default_rng(1)
+    imgs_s = jnp.asarray(rng.random((2, 2, B, 16, 24, 3), np.float32))
+    Rb_s = jnp.broadcast_to(Rb, (2, *Rb.shape))
+    Tb_s = jnp.broadcast_to(Tb, (2, *Tb.shape))
+    keys_s = jax.random.split(jax.random.PRNGKey(9), 8).reshape(2, 2, 2, 2)
+    # deep-copy the start state: both paths donate their inputs
+    p0 = jax.tree_util.tree_map(jnp.copy, new_params)
+    o0 = jax.tree_util.tree_map(jnp.copy, new_opt)
+    p_seq, o_seq = new_params, new_opt
+    seq_losses = []
+    for i in range(2):
+        p_seq, o_seq, l = runner.step(
+            Ks, p_seq, o_seq, imgs_s[i], Rb_s[i], Tb_s[i], phase, lrs,
+            keys_s[i],
+        )
+        seq_losses.append(np.asarray(l))
+    p_m, o_m, losses_m = runner.multi_step(
+        Ks, p0, o0, imgs_s, Rb_s, Tb_s, phase, lrs, keys_s
+    )
+    np.testing.assert_allclose(
+        np.asarray(losses_m), np.stack(seq_losses), rtol=1e-5, atol=1e-6
+    )
+
 
 @pytest.mark.slow
 def test_multi_seed_trainer_more_seeds_than_devices(tmp_path):
