@@ -151,6 +151,34 @@ class TestReferenceImport:
         )
         assert np.isfinite(np.asarray(rec)).all()
 
+    def test_export_import_roundtrip(self, tmp_path):
+        """Our checkpoint -> reference torch format -> back must preserve
+        every parameter bitwise."""
+        torch = pytest.importorskip("torch")
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        from scripts.export_reference_ckpt import export_checkpoint
+        from scripts.import_reference_ckpt import import_checkpoint
+
+        m, params = tiny_params()
+        opt = create_optimizer(TRAIN_CFG, params)
+        src = save_checkpoint(
+            tmp_path / "ours.pkl", params, opt.init(params), 12, 3
+        )
+        ref = export_checkpoint(str(src), str(tmp_path / "ref.pkl"))
+        loaded = torch.load(ref, weights_only=False)
+        assert isinstance(loaded["model_state"]["S"], torch.Tensor)
+        back = import_checkpoint(ref, str(tmp_path / "back.pkl"))
+        ckpt = load_checkpoint(back)
+        assert ckpt["epoch"] == 12 and ckpt["batch"] == 3
+        for name in params._fields:
+            np.testing.assert_array_equal(
+                getattr(ckpt["model_state"], name),
+                np.asarray(getattr(params, name)),
+            )
+
     def test_import_missing_param_raises(self, tmp_path):
         torch = pytest.importorskip("torch")
         import sys
