@@ -78,11 +78,15 @@ def sample_gt_points(model, params, n_points=2000, seed=0):
     from ..ops.rotations import rotation_6d_to_matrix
 
     Rm = rotation_6d_to_matrix(params.R_6d)
+    # sample_sq's axis order puts the up (sin eta) component at z while the
+    # block convention has it at y — permute the SCALE into sample_sq's
+    # order so each anisotropic component lands on the axis it scales,
+    # then permute the points back to block convention
+    S_sq = (S * model.ratio_block_scene)[:, jnp.asarray([0, 2, 1])]
     pts = sample_sq(
         jax.random.PRNGKey(seed), eps1, eps2,
-        S * model.ratio_block_scene, n_points // max(model.n_blocks, 1),
+        S_sq, n_points // max(model.n_blocks, 1),
     )
-    # sample_sq axis order: up axis at z; parametric at y -> permute
     pts = pts[..., jnp.asarray([0, 2, 1])]
     pts = pts @ Rm + params.T[:, None]
     pts = pts.reshape(-1, 3)

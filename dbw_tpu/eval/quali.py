@@ -20,7 +20,9 @@ from .export import export_scene_obj
 
 
 def qualitative_eval(model, params, loader, path, NV=240, n_views=10,
-                     render_videos=True):
+                     render_videos=True, n_traj_videos=None):
+    """n_traj_videos: how many views get trajectory videos (None = all,
+    matching the reference's per-view loop, src/model/dbw.py:552-554)."""
     path = Path(path)
 
     # textures (reference dbw.py:501-505)
@@ -107,7 +109,8 @@ def qualitative_eval(model, params, loader, path, NV=240, n_views=10,
             convert_to_img(np.asarray(edged_syn)[0]).save(
                 path / f"{i}_rec_syn_nobkg_edged.png"
             )
-            if render_videos and count + k < 2:  # trajectory videos (2 views)
+            n_traj = n_views if n_traj_videos is None else n_traj_videos
+            if render_videos and count + k < n_traj:  # trajectory videos
                 R_v = jnp.einsum("ij,njk->nik", R[0], R_traj)
                 T_v = jnp.broadcast_to(T[0], (NV, 3))
                 frames = _render_batched(render, R_v, T_v)

@@ -41,8 +41,11 @@ def ransac_plane(points, n_trials=100, n_samples=3, threshold=0.01, key=None):
     return coefs[best], inliers[best]
 
 
-def remove_ground_plane(points, axis=2, n_trials=200, threshold=0.05, seed=0):
-    """Remove the dominant plane orthogonal-ish to `axis` (host helper for
+def remove_ground_plane(points, axis=2, n_trials=100, threshold=0.001 ** 0.5,
+                        seed=0):
+    """Defaults mirror the reference Ransac(thresh=0.001 on SQUARED residual,
+    n_iter=100; src/utils/ransac.py:31,50): |residual| < sqrt(1e-3).
+    Remove the dominant plane orthogonal-ish to `axis` (host helper for
     dtu_3d_process)."""
     pts = np.asarray(points, np.float32)
     perm = [i for i in range(3) if i != axis] + [axis]

@@ -15,7 +15,11 @@ from .chamfer import chamfer_distance
 
 
 def get_loss(name):
-    return {
+    """Name -> ready-to-call loss (reference instantiates uniformly:
+    ``get_loss(name)()``, src/model/dbw.py:161 — class entries here are
+    instantiated with their defaults so every entry is directly callable
+    on (imgs, rec))."""
+    entry = {
         "bce": bce_with_logits_loss,
         "mse": mse_loss,
         "l2": mse_loss,
@@ -27,3 +31,4 @@ def get_loss(name):
         "chamfer": chamfer_distance,
         "tv": total_variation,
     }[name]
+    return entry() if isinstance(entry, type) else entry

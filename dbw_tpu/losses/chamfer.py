@@ -20,8 +20,14 @@ from jax import lax
 
 def nn_dist2_idx(x, y, chunk=4096):
     """For each point in x (P1, D): squared distance to and index of its
-    nearest neighbor in y (P2, D). Returns (dist2 (P1,), idx (P1,))."""
+    nearest neighbor in y (P2, D). Returns (dist2 (P1,), idx (P1,)).
+
+    The requested chunk is clamped so the per-chunk (chunk, P2) f32
+    distance block stays near 1 GB — large baseline clouds (5e5 x 5e5)
+    would otherwise materialize ~8 GB blocks and OOM."""
     P1 = x.shape[0]
+    P2 = y.shape[0]
+    chunk = max(128, min(chunk, (1 << 28) // max(P2, 1)))
     y2 = jnp.sum(y * y, axis=-1)  # (P2,)
     n_chunks = -(-P1 // chunk)
     pad = n_chunks * chunk - P1

@@ -122,10 +122,20 @@ class VGG16Features:
                 if jax.default_backend() not in ("cpu",) else jnp.float32
             )
         path = path or os.environ.get("DBW_VGG_WEIGHTS")
-        if path and os.path.exists(path):
-            if path.endswith(".npz"):
-                return cls(cls.load_npz(path), dtype=dtype)
-            return cls(cls.load_torch_state_dict(path), dtype=dtype)
+        if path:
+            if os.path.exists(path):
+                if path.endswith(".npz"):
+                    return cls(cls.load_npz(path), dtype=dtype)
+                return cls(cls.load_torch_state_dict(path), dtype=dtype)
+            # a configured-but-missing path must not silently train against
+            # random features — that invalidates every perceptual metric
+            from ..utils.logger import print_warning
+
+            print_warning(
+                f"VGG weights path {path!r} does not exist — FALLING BACK "
+                "to seeded random features (perceptual/LPIPS values are "
+                "not comparable to pretrained-VGG runs)"
+            )
         return cls(None, seed=seed, dtype=dtype)
 
     # -- forward ----------------------------------------------------------

@@ -633,8 +633,10 @@ class BlocksWorld:
         losses = {}
 
         if "rgb" in w:
-            # configured criterion (reference dbw.py:161,367: get_loss(name))
-            losses["rgb"] = w["rgb"] * self.criterion(imgs, rec)
+            # configured criterion (reference dbw.py:161,367: get_loss(name));
+            # .mean() reduces per-image criteria (ssim returns (B,)) to the
+            # scalar the loss dict requires — a no-op for scalar criteria
+            losses["rgb"] = w["rgb"] * jnp.mean(self.criterion(imgs, rec))
 
         if "perceptual" in w:
             factor = jnp.where(phase.coarse, 1.0, 0.1)

@@ -292,3 +292,42 @@ class TestNerfstudioLoader:
         with use_seed(len("scene")):
             np.random.shuffle(ids)
         np.testing.assert_allclose(t1.T, ds.T[ids], atol=1e-6)
+
+
+class TestSyntheticGTGeometry:
+    def test_gt_points_lie_on_anisotropic_block_surface(self):
+        """sample_gt_points must be geometrically consistent with the
+        rendered blocks for ANISOTROPIC scales (regression: the sample_sq
+        axis permutation must carry the scale components with it)."""
+        import jax
+        import jax.numpy as jnp
+
+        from dbw_tpu.data.synthetic import sample_gt_points
+        from dbw_tpu.models.dbw import BlocksWorld, Phase
+
+        m = BlocksWorld(
+            (16, 24),
+            mesh=dict(n_blocks=1, txt_size=16),
+            renderer=dict(faces_per_pixel=2),
+            rend_optim=dict(decouple_rendering=True),
+        )
+        K = np.zeros((4, 4), np.float32)
+        K[0, 0] = K[1, 1] = 2.0
+        m.set_camera(K)
+        params = m.init_params(0)
+        # strongly anisotropic: up-axis scale 4x the others
+        params = params._replace(
+            S=jnp.log(jnp.asarray([[0.5, 2.0, 0.5]])),
+            T=jnp.zeros((1, 3)),
+            R_6d=jnp.asarray([[1.0, 0, 0, 0, 1.0, 0]]),
+        )
+        phase = Phase.eval_phase()
+        scene, _ = m.build_blocks(params, phase)
+        verts = np.asarray(scene.verts)
+        pts = np.asarray(sample_gt_points(m, params, n_points=500))
+        # each GT sample must be close to SOME mesh vertex (icosphere level
+        # 1 edge length ~ 0.5 * local radius; axis swap would put points
+        # ~3x scale away)
+        d = np.linalg.norm(pts[:, None] - verts[None], axis=-1).min(1)
+        scale_span = np.abs(verts).max()
+        assert d.max() < 0.35 * scale_span, (d.max(), scale_span)

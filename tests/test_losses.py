@@ -33,7 +33,8 @@ class TestBasics:
 
     def test_registry(self):
         assert get_loss("mse") is mse_loss
-        assert get_loss("ssim") is SSIM
+        # class entries come back instantiated: directly callable on (imgs, rec)
+        assert isinstance(get_loss("ssim"), SSIM)
 
 
 class TestSSIM:

@@ -329,3 +329,23 @@ class TestRGBCriterion:
         with pytest.raises(KeyError):
             BlocksWorld(IMG, **{**MODEL_CFG,
                                 "loss": {**MODEL_CFG["loss"], "name": "nope"}})
+
+    def test_class_criterion_is_instantiated(self, params):
+        """Class-backed registry entries (ssim) must arrive ready to call
+        on (imgs, rec) — reference get_loss(name)() semantics."""
+        from dbw_tpu.losses.ssim import ssim_loss
+
+        m = BlocksWorld(IMG, **{**MODEL_CFG, "loss": {**MODEL_CFG["loss"],
+                                                      "name": "ssim"}})
+        K = np.zeros((4, 4), np.float32)
+        K[0, 0] = K[1, 1] = 2.0
+        m.set_camera(K)
+        phase = m.phase_for_epoch(0, training=True)
+        R, T = cams(1)
+        imgs = jnp.full((1,) + IMG + (3,), 0.2, jnp.float32)
+        rec, aux = jax.jit(m.predict)(params, phase, R, T,
+                                      key=jax.random.PRNGKey(0))
+        losses = m.compute_losses(imgs, rec, params, phase, aux,
+                                  key=jax.random.PRNGKey(1))
+        expected = float(ssim_loss(imgs, rec).mean())
+        assert float(losses["rgb"]) == pytest.approx(expected, rel=1e-5)
