@@ -32,8 +32,14 @@ REFERENCE_STEPS_PER_SEC = 1.0 / 0.65  # BASELINE.md derived: ~0.65 s/step
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--steps", type=int, default=20)
-    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--steps", type=int, default=40)
+    parser.add_argument(
+        "--max-warmup-calls", type=int, default=40,
+        help="cap on stability-seeking warmup calls")
+    parser.add_argument(
+        "--max-warmup-s", type=float, default=900.0,
+        help="wall-clock cap on the warmup phase (cold compiles through "
+        "the axon remote-compile tunnel can take many minutes)")
     parser.add_argument(
         "--steps-per-call", type=int, default=5,
         help="optimizer steps lax.scan'd inside one device program "
@@ -113,18 +119,46 @@ def main():
         params, opt_state, loss = multi_step(params, opt_state, keys)
         return params, opt_state, loss, key
 
-    for _ in range(max(args.warmup // SPC, 1)):
+    def timed_call(params, opt_state, key):
+        t0 = time.perf_counter()
         params, opt_state, loss, key = run_call(params, opt_state, key)
-    jax.block_until_ready(loss)
+        jax.block_until_ready(loss)
+        return time.perf_counter() - t0, params, opt_state, loss, key
 
-    n_calls = max(args.steps // SPC, 1)
-    t0 = time.perf_counter()
+    # --- Cold-run-proof warmup ------------------------------------------
+    # The first call pays tracing + compilation (minutes through the axon
+    # remote-compile service, which bypasses the persistent cache), and the
+    # first few executions can pay tunnel/executable-paging overheads.  A
+    # fixed warmup count is NOT safe here (round 2's official capture caught
+    # ~70 s of one-time overhead inside its timed region).  Instead: time
+    # every call individually and keep warming until two consecutive calls
+    # agree within 10%, bounded by --max-warmup-calls / --max-warmup-s.
+    warmup_times = []
+    warmup_t0 = time.perf_counter()
+    warmup_stable = False
+    while len(warmup_times) < args.max_warmup_calls:
+        dt, params, opt_state, loss, key = timed_call(params, opt_state, key)
+        warmup_times.append(dt)
+        if len(warmup_times) >= 2:
+            a, b = warmup_times[-2], warmup_times[-1]
+            if abs(a - b) <= 0.10 * min(a, b):
+                warmup_stable = True
+                break
+        if time.perf_counter() - warmup_t0 > args.max_warmup_s:
+            break
+    cold_start_s = time.perf_counter() - warmup_t0
+
+    # --- Timed phase: per-call timing, report the MEDIAN -----------------
+    # The median sheds any residual one-time outlier (GC pause, tunnel
+    # hiccup) that a mean over one long region would absorb.
+    n_calls = max(args.steps // SPC, 4)
+    call_times = []
     for _ in range(n_calls):
-        params, opt_state, loss, key = run_call(params, opt_state, key)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
+        dt, params, opt_state, loss, key = timed_call(params, opt_state, key)
+        call_times.append(dt)
 
-    steps_per_sec = n_calls * SPC / dt
+    median_call = float(np.median(call_times))
+    steps_per_sec = SPC / median_call
     # rendered Mpix/s fwd+bwd: soft blocks pass + hard env pass per view
     mpix = B * H * W * 2 * steps_per_sec / 1e6
     print(
@@ -147,6 +181,16 @@ def main():
                     "device": str(jax.devices()[0].device_kind),
                     "rendered_mpix_per_sec": round(mpix, 2),
                     "final_loss": float(loss),
+                    # self-diagnosing cold-start accounting: a distorted run
+                    # shows up here instead of silently skewing `value`.
+                    "warmup_calls": len(warmup_times),
+                    "warmup_stable": warmup_stable,
+                    "cold_start_s": round(cold_start_s, 2),
+                    "timed_calls": n_calls,
+                    "steps_per_call": SPC,
+                    "call_s_median": round(median_call, 4),
+                    "call_s_min": round(float(np.min(call_times)), 4),
+                    "call_s_max": round(float(np.max(call_times)), 4),
                 },
             }
         )
