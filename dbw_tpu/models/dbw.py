@@ -660,7 +660,13 @@ class BlocksWorld:
             tv_loss = tv(jnp.diff(bkg_m, axis=1)).mean() + tv(
                 jnp.diff(bkg_m, axis=2)
             ).mean()
-            bm = aux["raw_maps"]  # (N, TS, TS, 3), unfiltered & undecimated
+            # (N, TS, TS, 3), unfiltered & undecimated — deliberately so:
+            # the reference assigns `self._blocks_maps = maps` at dbw.py:313
+            # BEFORE the transparency filter at dbw.py:316-326 (which rebinds
+            # only the local `maps`), so reference TV at dbw.py:381-384 runs
+            # over ALL blocks' maps incl. dead ones. Pinned by
+            # tests/test_losses.py::test_block_tv_matches_reference_semantics.
+            bm = aux["raw_maps"]
             # seam continuity: circular diff along u (reference dbw.py:382-385)
             dx = tv(jnp.diff(bm, axis=2, append=bm[:, :, 0:1]))
             dy = tv(jnp.diff(bm, axis=1))

@@ -216,3 +216,88 @@ class TestWeightConversion:
         y = jnp.asarray(rng.random((1, 16, 16, 3), np.float32))
         val = float(l_full(x, y))
         assert np.isfinite(val) and val > 0
+
+
+class TestBlockTVReferenceSemantics:
+    """Pin the block-TV filtering semantics to the reference's.
+
+    The reference assigns `self._blocks_maps = maps` at dbw.py:313 BEFORE
+    the transparency filter at dbw.py:316-326 (which rebinds only the local
+    `maps` variable), so reference TV (dbw.py:380-387) runs over ALL blocks'
+    maps — dead blocks included — and dead blocks' textures keep receiving
+    TV gradients. This test replicates that computation independently in
+    torch and checks (a) value parity with a dead block present and (b) a
+    nonzero TV gradient into the dead block's texture.
+    """
+
+    def _model(self):
+        from dbw_tpu.models import BlocksWorld
+
+        cfg = dict(
+            mesh=dict(n_blocks=3, S_world=0.5, R_world=[115, 0, 0],
+                      txt_size=16),
+            renderer=dict(faces_per_pixel=4, detach_bary=True, z_clip=0.001),
+            rend_optim=dict(
+                coarse_learning=100, decimate_txt=50, decimate_factor=8,
+                kill_blocks=True, decouple_rendering=True, opacity_noise=True,
+            ),
+            loss=dict(tv_weight=0.1),
+        )
+        m = BlocksWorld((24, 32), **cfg)
+        K = np.zeros((4, 4), np.float32)
+        K[0, 0] = K[1, 1] = 2.0
+        m.set_camera(K)
+        return m
+
+    def test_block_tv_matches_reference_semantics(self):
+        import torch
+
+        from dbw_tpu.ops.rotations import look_at_rotation
+
+        m = self._model()
+        params = m.init_params(seed=3)
+        # block 0 dead: alpha ~ 4.5e-5 < kill threshold 0.01
+        params = params._replace(
+            alpha_logit=params.alpha_logit.at[0].set(-10.0))
+        phase = m.phase_for_epoch(0, training=False)  # coarse, no noise
+        R, T = look_at_rotation(3.0, 20.0, jnp.asarray([0.0]))
+        imgs = jnp.zeros((1, 24, 32, 3), jnp.float32)
+
+        rec, aux = m.predict(params, phase, R, T)
+        got = float(m.compute_losses(imgs, rec, params, phase, aux)["tv"])
+
+        # independent torch replication of reference dbw.py:380-387 with the
+        # UNFILTERED maps of dbw.py:313 (l2sq tv_norm, coarse factor=1)
+        tv = lambda t: t.pow(2).sum(-1)
+        bm = torch.sigmoid(torch.from_numpy(np.asarray(params.textures)))
+        bkg = torch.sigmoid(torch.from_numpy(np.asarray(params.texture_bkg)))
+        grd = torch.sigmoid(
+            torch.from_numpy(np.asarray(params.texture_ground)))
+        tv_loss = sum(tv(torch.diff(bkg, dim=k)).mean() for k in [1, 2])
+        dx = tv(torch.diff(bm, dim=2, append=bm[:, :, 0:1]))
+        dy = tv(torch.diff(bm, dim=1))
+        tv_loss = tv_loss + dx.sum(0).mean() + dy.sum(0).mean()
+        tv_loss = tv_loss + sum(
+            tv(torch.diff(grd, dim=k)).mean() for k in [1, 2])
+        expected = 0.1 * float(tv_loss)
+        assert got == pytest.approx(expected, rel=1e-5)
+
+    def test_dead_block_texture_receives_tv_gradient(self):
+        from dbw_tpu.ops.rotations import look_at_rotation
+
+        m = self._model()
+        params = m.init_params(seed=3)
+        params = params._replace(
+            alpha_logit=params.alpha_logit.at[0].set(-10.0))
+        phase = m.phase_for_epoch(0, training=False)
+        R, T = look_at_rotation(3.0, 20.0, jnp.asarray([0.0]))
+        imgs = jnp.zeros((1, 24, 32, 3), jnp.float32)
+
+        def tv_of(p):
+            rec, aux = m.predict(p, phase, R, T)
+            return m.compute_losses(imgs, rec, p, phase, aux)["tv"]
+
+        g = jax.grad(tv_of)(params)
+        g0 = np.asarray(g.textures)[0]
+        # reference parity: TV gradient flows into the DEAD block's texture
+        assert np.abs(g0).max() > 0
