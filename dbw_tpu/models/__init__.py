@@ -24,6 +24,9 @@ def load_model_from_checkpoint(path, img_size, **overrides):
     kwargs = dict(ckpt.get("model_kwargs") or {})
     kwargs.update(overrides)
     kwargs.pop("name", None)
+    # reference checkpoints embed img_size in model_kwargs (reference
+    # dbw.py:43-44); we pass it positionally from the dataset
+    kwargs.pop("img_size", None)
     model = get_model(ckpt.get("model_name", "dbw"))(img_size, **kwargs)
     params = jax.tree_util.tree_map(
         lambda x: jax.numpy.asarray(x), ckpt["model_state"]

@@ -68,11 +68,19 @@ def import_checkpoint(src_path, dst_path):
             state = pickle.load(f)
 
     ms = convert_state(state["model_state"])
+    # Real reference checkpoints embed img_size in model_kwargs (reference
+    # src/model/dbw.py:43-44); our loaders pass img_size positionally from
+    # the dataset, so keeping it would crash load_model_from_checkpoint with
+    # "multiple values for img_size". Strip it (and 'name', which the
+    # reference never stores but our own configs carry).
+    model_kwargs = dict(state.get("model_kwargs", {}))
+    model_kwargs.pop("img_size", None)
+    model_kwargs.pop("name", None)
     out = {
         "epoch": int(state.get("epoch", 0)),
         "batch": int(state.get("batch", 0)),
         "model_name": state.get("model_name", "dbw"),
-        "model_kwargs": state.get("model_kwargs", {}),
+        "model_kwargs": model_kwargs,
         "model_state": ms,
         "optimizer_state": None,  # torch Adam state is not optax-portable
     }

@@ -119,7 +119,10 @@ class TestReferenceImport:
         }
         ref = {
             "epoch": 321, "batch": 5, "model_name": "dbw",
-            "model_kwargs": {"n_blocks": N},
+            # real reference checkpoints embed img_size in model_kwargs
+            # (reference dbw.py:43-44) — must be stripped on import
+            "model_kwargs": {"img_size": [300, 400],
+                             "mesh": {"n_blocks": N}},
             "model_state": state_dict,
             "optimizer_state": {"state": {0: {"exp_avg": torch.zeros(3)}}},
             "scheduler_state": {"last_epoch": 321},
@@ -131,6 +134,8 @@ class TestReferenceImport:
         ckpt = load_checkpoint(dst)
         assert ckpt["epoch"] == 321 and ckpt["batch"] == 5
         assert ckpt["optimizer_state"] is None
+        assert "img_size" not in ckpt["model_kwargs"]
+        assert ckpt["model_kwargs"]["mesh"]["n_blocks"] == N
         sp = ckpt["model_state"]
         assert isinstance(sp, SceneParams)
         assert sp.textures.shape == (N, TS, TS, 3)
@@ -165,11 +170,20 @@ class TestReferenceImport:
         m, params = tiny_params()
         opt = create_optimizer(TRAIN_CFG, params)
         src = save_checkpoint(
-            tmp_path / "ours.pkl", params, opt.init(params), 12, 3
+            tmp_path / "ours.pkl", params, opt.init(params), 12, 3,
+            model_kwargs={"name": "dbw", "mesh": {"n_blocks": 2}},
         )
-        ref = export_checkpoint(str(src), str(tmp_path / "ref.pkl"))
+        ref = export_checkpoint(
+            str(src), str(tmp_path / "ref.pkl"), img_size=(24, 32)
+        )
         loaded = torch.load(ref, weights_only=False)
         assert isinstance(loaded["model_state"]["S"], torch.Tensor)
+        # exported kwargs must match the reference's _init_kwargs shape
+        # (dbw.py:43-44): img_size embedded, no 'name' key — the reference's
+        # get_model(name)(**model_kwargs) would TypeError otherwise
+        assert loaded["model_kwargs"]["img_size"] == [24, 32]
+        assert "name" not in loaded["model_kwargs"]
+        assert loaded["model_kwargs"]["mesh"]["n_blocks"] == 2
         back = import_checkpoint(ref, str(tmp_path / "back.pkl"))
         ckpt = load_checkpoint(back)
         assert ckpt["epoch"] == 12 and ckpt["batch"] == 3
