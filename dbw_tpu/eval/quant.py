@@ -11,7 +11,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..losses.basic import mse2psnr, mse_loss
+from ..data.base import pad_batch
+from ..losses.basic import mse2psnr
 from ..losses.ssim import ssim_loss
 from ..losses.vgg import LPIPSLoss
 from ..models.dbw import Phase
@@ -33,13 +34,18 @@ def quantitative_eval(model, params, loader, hard_inference=True, lpips=None):
     def render_hard(R, T):
         return model.renderer_viz.render(scene, R, T)[..., :3]
 
+    # Per-view scores on STATIC padded shapes: ragged final batches are
+    # padded to the loader batch size (so every jitted fn compiles exactly
+    # once for a e.g. 49-view loader) and the pad views are sliced off on
+    # host before the meters — batch-mean numerics over the real views stay
+    # identical to the reference's ragged batches (dbw.py:476-488).
     @jax.jit
-    def score(imgs, rec):
-        mse = mse_loss(imgs, rec)
+    def score_per_view(imgs, rec):
+        mse_v = jnp.mean((imgs - rec) ** 2, axis=(1, 2, 3))
         return {
-            "psnr": mse2psnr(mse),
-            "ssim": 1.0 - ssim_loss(imgs, rec, padding=False).mean(),
-            "mse": mse,
+            "mse_v": mse_v,
+            "ssim_v": 1.0 - ssim_loss(imgs, rec, padding=False),
+            "lpips_v": lpips(imgs, rec, reduce=False),
         }
 
     meters = {
@@ -49,24 +55,33 @@ def quantitative_eval(model, params, loader, hard_inference=True, lpips=None):
     key = jax.random.PRNGKey(0)
     # scene/aux depend only on (params, phase): build once, not per batch
     aux = _loss_aux(model, params, phase)
+    bs = getattr(loader, "batch_size", None)
     for inp, labels in loader:
-        imgs = jnp.asarray(inp["imgs"])
-        R, T = jnp.asarray(inp["R"]), jnp.asarray(inp["T"])
-        n = len(imgs)
+        n = len(inp["imgs"])
+        if bs:
+            imgs, _ = pad_batch(np.asarray(inp["imgs"]), bs)
+            R, _ = pad_batch(np.asarray(inp["R"]), bs)
+            T, _ = pad_batch(np.asarray(inp["T"]), bs)
+            imgs, R, T = jnp.asarray(imgs), jnp.asarray(R), jnp.asarray(T)
+        else:
+            imgs = jnp.asarray(inp["imgs"])
+            R, T = jnp.asarray(inp["R"]), jnp.asarray(inp["T"])
         if hard_inference:
             rec = render_hard(R, T)
         else:
             rec, _ = model.predict(params, phase, R, T)
+        s = jax.tree_util.tree_map(lambda v: np.asarray(v)[:n],
+                                   score_per_view(imgs, rec))
+        imgs, rec = imgs[:n], rec[:n]
         losses = model.compute_losses(imgs, rec, params, phase, aux, key=key)
-        s = score(imgs, rec)
         meters["L_tot"].update(float(losses["total"]), N=n)
         rec_terms = sum(
             float(losses.get(name, 0.0)) for name in ["rgb", "perceptual"]
         )
         meters["L_rec"].update(rec_terms, N=n)
-        meters["PSNR"].update(float(s["psnr"]), N=n)
-        meters["SSIM"].update(float(s["ssim"]), N=n)
-        meters[lpips_col].update(float(lpips(imgs, rec)), N=n)
+        meters["PSNR"].update(float(mse2psnr(s["mse_v"].mean())), N=n)
+        meters["SSIM"].update(float(s["ssim_v"].mean()), N=n)
+        meters[lpips_col].update(float(s["lpips_v"].mean()), N=n)
 
     return OrderedDict(
         [("n_blocks", n_blocks)]

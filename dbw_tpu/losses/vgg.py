@@ -228,7 +228,9 @@ class LPIPSLoss:
             return "LPIPS_uniform"
         return "LPIPS"
 
-    def __call__(self, imgs, rec, normalize=True):
+    def __call__(self, imgs, rec, normalize=True, reduce=True):
+        """LPIPS distance; ``reduce=False`` returns the per-view (B,) vector
+        (used by eval to score padded static-shape batches exactly)."""
         if normalize:  # [0,1] -> [-1,1] (lpips normalize=True semantics)
             imgs = imgs * 2.0 - 1.0
             rec = rec * 2.0 - 1.0
@@ -248,4 +250,4 @@ class LPIPSLoss:
             else:
                 d = d.mean(-1)
             total = total + d.reshape(d.shape[0], -1).mean(1)
-        return total.mean()
+        return total.mean() if reduce else total

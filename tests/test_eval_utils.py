@@ -286,3 +286,58 @@ class TestDTUSurfaceSampling:
         faces = np.array([[0, 1, 2]])
         out = sample_mesh_surface(verts, faces)
         assert out.shape == (3, 3)
+
+
+class TestQuantEvalPadding:
+    """Ragged test batches are padded to the loader batch size so the hard
+    render compiles once (VERDICT r2 weak #5) — and the pad views must NOT
+    leak into any score column."""
+
+    def test_pad_views_do_not_leak(self):
+        import jax
+        import jax.numpy as jnp
+
+        from dbw_tpu.data import create_train_val_test_loader
+        from dbw_tpu.data.base import Loader
+        from dbw_tpu.eval.quant import quantitative_eval
+        from dbw_tpu.models import BlocksWorld
+        from dbw_tpu.models.dbw import Phase
+        from dbw_tpu.losses.basic import mse2psnr
+        from dbw_tpu.losses.ssim import ssim_loss
+
+        cfg = {"dataset": {"name": "synthetic", "tag": "t", "img_size": [24, 32],
+                           "n_views": 16, "seed": 0}}
+        _, _, test_loader = create_train_val_test_loader(cfg)
+        ds = test_loader.dataset  # synthetic test split
+        model = BlocksWorld(
+            ds.img_size,
+            mesh=dict(n_blocks=2, txt_size=16),
+            renderer=dict(faces_per_pixel=2),
+            rend_optim=dict(coarse_learning=10, decouple_rendering=True),
+            loss=dict(rgb_weight=1),
+        )
+        model.set_camera(ds.K[0])
+        params = model.init_params(seed=0)
+
+        # 3 views at bs=2 -> batches of [2, 1]: the final batch is padded
+        sub = ds.subset(list(range(3)))
+        ragged = Loader(sub, batch_size=2, shuffle=False)
+        got = quantitative_eval(model, params, ragged)
+
+        # expected: the reference's ragged-batch accounting (batch-mean
+        # scores weighted by real view count) computed WITHOUT any padding
+        phase = Phase.eval_phase(filter_transparent=True)
+        scene, _, _ = model.build_scene(params, phase)
+        psnr_w, ssim_w, n_tot = 0.0, 0.0, 0
+        for ids in ([0, 1], [2]):
+            R = jnp.asarray(sub.R[ids])
+            T = jnp.asarray(sub.T[ids])
+            imgs = jnp.asarray(sub.imgs[ids])
+            rec = model.renderer_viz.render(scene, R, T)[..., :3]
+            n = len(ids)
+            mse = float(jnp.mean((imgs - rec) ** 2))
+            psnr_w += float(mse2psnr(mse)) * n
+            ssim_w += float(1.0 - ssim_loss(imgs, rec, padding=False).mean()) * n
+            n_tot += n
+        assert got["PSNR"] == pytest.approx(psnr_w / n_tot, rel=1e-5)
+        assert got["SSIM"] == pytest.approx(ssim_w / n_tot, rel=1e-5)
