@@ -69,7 +69,17 @@ class Loader:
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+        # epoch counter driving the shuffle stream: the k-th __iter__ always
+        # yields the same order for a given seed, regardless of process
+        # history — so a checkpoint resume at epoch k replays the exact batch
+        # order of the uninterrupted run (Trainer/MultiSeedTrainer call
+        # set_epoch on resume).
+        self.epoch = 0
+
+    def set_epoch(self, epoch):
+        """Fast-forward the shuffle stream (resume support)."""
+        self.epoch = int(epoch)
 
     def __len__(self):
         n = len(self.dataset)
@@ -77,7 +87,9 @@ class Loader:
 
     def __iter__(self):
         n = len(self.dataset)
-        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        rng = np.random.default_rng((self.seed, self.epoch))
+        self.epoch += 1
+        order = rng.permutation(n) if self.shuffle else np.arange(n)
         for k in range(len(self)):
             ids = order[k * self.batch_size : (k + 1) * self.batch_size]
             d = self.dataset
@@ -86,7 +98,7 @@ class Loader:
             }
             pc = d.pc_gt
             if len(pc) > int(1e5):
-                sel = self._rng.permutation(len(pc))[: int(1e5)]
+                sel = rng.permutation(len(pc))[: int(1e5)]
                 pc = pc[sel]
             yield inp, {"points": pc}
 

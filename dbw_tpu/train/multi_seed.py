@@ -6,18 +6,36 @@ On an S-seed mesh each optimization runs on its own devices with zero
 cross-seed traffic; on a single chip the seed axis is just a vmapped
 leading dimension (still one compiled program — far cheaper than S
 sequential runs because the per-step launch overhead amortizes and XLA
-overlaps the independent seeds' compute)."""
+overlaps the independent seeds' compute).
+
+Trainer-parity features (reference src/trainer.py, applied to the stacked
+program):
+- periodic checkpoint of the stacked params/opt with a mid-epoch batch
+  cursor, and exact resume (``multi_model.pkl``; the loader's shuffle
+  stream is keyed by (seed, epoch) so a resumed run replays the
+  uninterrupted batch order bit for bit),
+- per-seed val opacity streams (``seed{s}/val_metrics.tsv``) and a shared
+  per-seed train-loss stream (``train_metrics.tsv``),
+- dead-seed tracking: a seed whose blocks have all collapsed (reference's
+  ``RuntimeError('No more blocks....')``, trainer.py:153-154) is excluded
+  from auto-selection; if EVERY seed dies the protocol aborts like the
+  reference run would,
+- final evaluation surface per seed (``evaluate``): each run dir gets the
+  reference's ``final_scores.tsv``; the auto-selected best seed gets the
+  full artifact set (quali_eval/, DTU protocol) via ``eval.full``.
+"""
 
 from __future__ import annotations
 
+import pickle
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..data import create_train_val_test_loader
+from ..eval.metrics import Metrics
 from ..models import create_model
 from ..train.checkpoint import save_checkpoint
 from ..train.optimizer import create_optimizer
@@ -25,6 +43,8 @@ from ..train.scheduler import create_scheduler
 from ..utils.logger import print_log
 from ..utils.misc import path_mkdir
 from ..parallel.seeds import stack_params, unstack_params
+
+MULTI_CKPT = "multi_model.pkl"
 
 
 class MultiSeedTrainer:
@@ -37,9 +57,23 @@ class MultiSeedTrainer:
     XLA then runs each seed's optimization on its own device group with
     zero cross-seed traffic."""
 
-    def __init__(self, cfg, run_dir, seeds):
+    def __init__(self, cfg, run_dir, seeds, resume=False):
         self.run_dir = path_mkdir(run_dir)
         self.cfg = cfg
+        ckpt = None
+        if resume:
+            path = self.run_dir / MULTI_CKPT
+            if not path.exists():
+                raise FileNotFoundError(
+                    f"resume requested but {path} does not exist")
+            with open(path, "rb") as f:
+                ckpt = pickle.load(f)
+            seeds = ckpt["orig_seeds"]
+            print_log(
+                f"[multi-seed] resuming from {path}: epoch={ckpt['epoch']}, "
+                f"batch={ckpt['batch']}, seeds={seeds}"
+            )
+        self.orig_seeds = list(seeds)
         self.seeds = list(seeds)
         self.n_valid = len(self.seeds)
         self.batch_size = cfg["training"].get("batch_size", 4)
@@ -77,6 +111,10 @@ class MultiSeedTrainer:
         self.model = create_model(cfg, self.dataset.img_size)
         self.model.set_camera(self.dataset.K[0])
         self.n_epoches = cfg["training"]["n_epoches"]
+        self.n_batches = len(self.train_loader)
+        tcfg = cfg["training"]
+        self.train_stat_interval = tcfg.get("train_stat_interval", 0)
+        self.val_stat_interval = tcfg.get("val_stat_interval", 0)
 
         params_list = [self.model.init_params(seed=s) for s in self.seeds]
         self.params = stack_params(params_list)
@@ -84,17 +122,36 @@ class MultiSeedTrainer:
         self.opt_state = stack_params(
             [self.optimizer.init(p) for p in params_list]
         )
+        self.scheduler = create_scheduler(cfg, self.optimizer.base_lrs)
+        self._key = jax.random.PRNGKey(max(self.seeds) + 1)
+        self.dead = np.zeros(S, bool)
+        self.epoch_start, self.batch_start = 1, 1
+        self.loss_sums, self.n_seen = np.zeros(S), 0
+
+        if ckpt is not None:
+            self._restore(ckpt)
         if self._shard is not None:
             self.params = jax.device_put(self.params, self._shard)
             self.opt_state = jax.device_put(self.opt_state, self._shard)
-        self.scheduler = create_scheduler(cfg, self.optimizer.base_lrs)
-        self._key = jax.random.PRNGKey(max(self.seeds) + 1)
+        # replay the uninterrupted batch order after a resume
+        self.train_loader.set_epoch(self.epoch_start - 1)
+
+        append = self.epoch_start > 1 or self.batch_start > 1
+        self.train_metrics = Metrics(
+            *[f"loss_s{s}" for s in self.orig_seeds],
+            log_file=self.run_dir / "train_metrics.tsv", append=append,
+        )
+        alpha_names = [f"alpha{k}" for k in range(self.model.n_blocks)]
+        self.val_metrics = [
+            Metrics(*alpha_names,
+                    log_file=path_mkdir(self.run_dir / f"seed{s}")
+                    / "val_metrics.tsv", append=append)
+            for s in self.orig_seeds
+        ]
 
         model, optimizer = self.model, self.optimizer
 
-        self.steps_per_call = int(
-            cfg["training"].get("steps_per_call", 1)
-        )
+        self.steps_per_call = int(tcfg.get("steps_per_call", 1))
         if self._mesh is not None:
             from ..parallel.seeds import MultiSeedRunner
 
@@ -102,6 +159,8 @@ class MultiSeedTrainer:
             self._step = runner.step
             self._multi_step = runner.multi_step
         else:
+            from functools import partial
+
             def one_step(params_S, opt_S, imgs, R, T, phase, lrs, keys):
                 def one(p, o, k):
                     def loss_fn(pp):
@@ -135,25 +194,108 @@ class MultiSeedTrainer:
 
             self._multi_step = multi_step
 
+    # ------------------------------------------------------------------
+    # checkpoint / resume
+    # ------------------------------------------------------------------
+
+    def save(self, epoch, batch):
+        """Stacked-protocol checkpoint: params/opt for ALL seed slots plus
+        the epoch/batch cursor, RNG key and running loss accounting — a
+        resume reproduces the uninterrupted run exactly."""
+        to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
+        state = {
+            "epoch": epoch, "batch": batch,
+            "orig_seeds": self.orig_seeds, "seeds": self.seeds,
+            "n_valid": self.n_valid,
+            "params": to_np(self.params), "opt_state": to_np(self.opt_state),
+            "key": np.asarray(self._key), "dead": self.dead.copy(),
+            "loss_sums": self.loss_sums.copy(), "n_seen": self.n_seen,
+            "model_kwargs": self.cfg.get("model", {}),
+        }
+        tmp = self.run_dir / (MULTI_CKPT + ".tmp")
+        with open(tmp, "wb") as f:
+            pickle.dump(state, f)
+        tmp.replace(self.run_dir / MULTI_CKPT)
+
+    def _restore(self, ckpt):
+        if list(ckpt["seeds"]) != list(self.seeds):
+            raise ValueError(
+                "resume on a different device topology: checkpoint seed "
+                f"slots {ckpt['seeds']} != current {self.seeds}"
+            )
+        to_j = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+        self.params = to_j(ckpt["params"])
+        self.opt_state = to_j(ckpt["opt_state"])
+        self._key = jnp.asarray(ckpt["key"])
+        self.dead = np.asarray(ckpt["dead"], bool).copy()
+        self.loss_sums = np.asarray(ckpt["loss_sums"]).copy()
+        self.n_seen = int(ckpt["n_seen"])
+        if ckpt["batch"] >= self.n_batches:
+            self.epoch_start, self.batch_start = ckpt["epoch"] + 1, 1
+        else:
+            self.epoch_start, self.batch_start = (
+                ckpt["epoch"], ckpt["batch"] + 1
+            )
+
+    # ------------------------------------------------------------------
+    # validation-interval actions
+    # ------------------------------------------------------------------
+
+    def _val_and_log(self, it, epoch, batch):
+        """Per-seed opacity streams + dead-seed tracking (reference
+        trainer.py:149-161 per run)."""
+        alphas = np.asarray(
+            jax.vmap(self.model.get_opacities)(self.params)
+        )  # (S, N)
+        alive = (alphas > 0.01).sum(axis=1) > 0
+        for i in range(self.n_valid):
+            if not alive[i] and not self.dead[i]:
+                self.dead[i] = True
+                print_log(
+                    f"[multi-seed] seed {self.seeds[i]} has no more blocks "
+                    f"at epoch {epoch} — excluded from selection"
+                )
+            self.val_metrics[i].update(
+                {f"alpha{k}": float(a) for k, a in enumerate(alphas[i])}
+            )
+            self.val_metrics[i].log_and_reset(it=it, epoch=epoch, batch=batch)
+        if self.dead[: self.n_valid].all():
+            # every seed collapsed: abort like the reference's runs would
+            raise RuntimeError("No more blocks....")
+
+    def _log_train(self, it, epoch, batch):
+        print_log(
+            f"[multi-seed] epoch {epoch}/{self.n_epoches} "
+            f"batch {batch}/{self.n_batches} "
+            f"train_metrics: {self.train_metrics}"[:1000]
+        )
+        self.train_metrics.log_and_reset(it=it, epoch=epoch, batch=batch)
+
+    # ------------------------------------------------------------------
+    # training
+    # ------------------------------------------------------------------
+
     def run(self):
         S = len(self.seeds)
         t0 = time.time()
-        loss_sums = np.zeros(S)
-        for epoch in range(1, self.n_epoches + 1):
+        for epoch in range(self.epoch_start, self.n_epoches + 1):
             phase = self.model.phase_for_epoch(epoch - 1, training=True)
             lrs = {
                 k: jnp.float32(v)
                 for k, v in self.scheduler.lrs(epoch - 1).items()
             }
-            loss_sums[:] = 0.0
-            n_seen = 0
-            pending = []
-            batches = list(self.train_loader)
+            if epoch != self.epoch_start or self.batch_start == 1:
+                self.loss_sums[:] = 0.0
+                self.n_seen = 0
+            batch_start = (
+                self.batch_start if epoch == self.epoch_start else 1
+            )
+            cur_iter = (epoch - 1) * self.n_batches + batch_start
 
             def run_group(group):
-                nonlocal n_seen
+                """group: list of (batch_idx, (inp, labels))."""
                 imgs_l, R_l, T_l, n_reals = [], [], [], []
-                for inp, _ in group:
+                for _, (inp, _) in group:
                     imgs, n_real = _pad(inp["imgs"], self.batch_size)
                     R, _ = _pad(inp["R"], self.batch_size)
                     T, _ = _pad(inp["T"], self.batch_size)
@@ -180,57 +322,131 @@ class MultiSeedTrainer:
                         phase, lrs, keys_s,
                     )
                     losses = np.asarray(losses)
-                # per-view weighting: a padded remainder batch (duplicates
-                # of its last view) counts only its real views, so the
-                # logged/selected per-seed loss is the mean over views seen
+                # per-batch weighting: losses[i] is the model's mean over the
+                # PADDED batch (a ragged tail's pad views duplicate its last
+                # view, so that view is slightly over-weighted — matching the
+                # single-seed trainer's documented <1% bias); weighting by
+                # n_real keeps whole-batch vs tail-batch accounting right
                 for i, n_real in enumerate(n_reals):
-                    loss_sums[:] = loss_sums + losses[i] * n_real
-                    n_seen += n_real
+                    self.loss_sums[:] = self.loss_sums + losses[i] * n_real
+                    self.n_seen += n_real
+                    self.train_metrics.update({
+                        f"loss_s{s}": float(losses[i][j])
+                        for j, s in enumerate(self.orig_seeds)
+                    }, N=n_real)
 
             SPC = max(self.steps_per_call, 1)
-            for b in batches:
-                pending.append(b)
-                if len(pending) == SPC:
-                    run_group(pending)
-                    pending = []
-            for b in pending:  # ragged tail: single-step program
-                run_group([b])
+            pending = []
+            for batch, item in enumerate(self.train_loader, start=1):
+                if batch < batch_start:
+                    continue
+                pending.append((batch, item))
+                if len(pending) < SPC:
+                    continue
+                cur_iter = self._flush(pending, run_group, cur_iter, epoch)
+                pending = []
+            if pending:
+                cur_iter = self._flush(pending, run_group, cur_iter, epoch)
             if epoch % max(self.n_epoches // 10, 1) == 0 or epoch == 1:
                 print_log(
                     f"[multi-seed] epoch {epoch}/{self.n_epoches} "
-                    f"losses={np.round(loss_sums / max(n_seen, 1), 5).tolist()} "
+                    f"losses="
+                    f"{np.round(self.loss_sums / max(self.n_seen, 1), 5).tolist()} "
                     f"({time.time() - t0:.1f}s)"
                 )
 
-        final_losses = loss_sums / max(n_seen, 1)
-        # padded duplicate-seed slots are excluded from selection
+        final_losses = self.loss_sums / max(self.n_seen, 1)
+        # padded duplicate-seed slots and dead seeds are excluded
         masked = np.where(
-            np.arange(len(self.seeds)) < self.n_valid, final_losses, np.inf
+            (np.arange(len(self.seeds)) < self.n_valid) & ~self.dead,
+            final_losses, np.inf,
         )
         best = int(np.argmin(masked))
+        self.best = best
         print_log(
             f"[multi-seed] final per-seed loss="
             f"{final_losses[: self.n_valid].round(5).tolist()}"
             f" -> auto-selected seed {self.seeds[best]} (min train loss)"
         )
+        self.save(self.n_epoches, self.n_batches)
         for i, s in enumerate(self.seeds[: self.n_valid]):
             p_i = unstack_params(self.params, i)
             o_i = unstack_params(self.opt_state, i)
             save_checkpoint(
                 self.run_dir / f"seed{s}" / "model.pkl", p_i, o_i,
-                self.n_epoches, 1, model_kwargs=self.cfg.get("model", {}),
+                self.n_epoches, self.n_batches,
+                model_kwargs=self.cfg.get("model", {}),
             )
         best_params = unstack_params(self.params, best)
         save_checkpoint(
             self.run_dir / "model.pkl", best_params,
-            unstack_params(self.opt_state, best), self.n_epoches, 1,
-            model_kwargs=self.cfg.get("model", {}),
+            unstack_params(self.opt_state, best), self.n_epoches,
+            self.n_batches, model_kwargs=self.cfg.get("model", {}),
         )
         with open(self.run_dir / "seed_selection.tsv", "w") as f:
-            f.write("seed\tfinal_train_loss\tselected\n")
+            f.write("seed\tfinal_train_loss\tdead\tselected\n")
             for i, s in enumerate(self.seeds[: self.n_valid]):
-                f.write(f"{s}\t{final_losses[i]:.6f}\t{int(i == best)}\n")
+                f.write(
+                    f"{s}\t{final_losses[i]:.6f}\t{int(self.dead[i])}"
+                    f"\t{int(i == best)}\n"
+                )
         return best_params, self.seeds[best], final_losses[: self.n_valid]
+
+    def _flush(self, pending, run_group, cur_iter, epoch):
+        """Run a buffered batch group and fire interval actions crossed by
+        it (metrics/val/checkpoint — the single-seed trainer's cadence)."""
+        run_group(pending)
+        last_batch = pending[-1][0]
+        do_log = do_val = False
+        for _ in pending:
+            if self.train_stat_interval:
+                do_log |= cur_iter % self.train_stat_interval == 0
+            if self.val_stat_interval:
+                do_val |= cur_iter % self.val_stat_interval == 0
+            cur_iter += 1
+        if do_log:
+            self._log_train(cur_iter - 1, epoch, last_batch)
+        if do_val:
+            self._val_and_log(cur_iter - 1, epoch, last_batch)
+            self.save(epoch, last_batch)
+        return cur_iter
+
+    # ------------------------------------------------------------------
+    # final evaluation surface (reference: every run of multi_pipeline.sh
+    # runs Trainer.evaluate — trainer.py:241-272)
+    # ------------------------------------------------------------------
+
+    def evaluate(self, per_seed_full=False, quali_kwargs=None):
+        """Per-seed ``final_scores.tsv`` + the FULL artifact set (quali,
+        DTU protocol, gallery) for the auto-selected best seed in the
+        protocol run dir. ``per_seed_full=True`` additionally gives every
+        seed the full surface (the reference's exact per-run behavior, at
+        5x the eval wall-clock)."""
+        from ..eval.full import evaluate_run
+        from ..losses.vgg import LPIPSLoss
+
+        assert hasattr(self, "best"), "evaluate() requires a finished run()"
+        lpips = LPIPSLoss(
+            vgg=self.model.perceptual_loss.vgg
+            if self.model.perceptual_loss else None
+        )
+        results = {}
+        for i, s in enumerate(self.seeds[: self.n_valid]):
+            p_i = unstack_params(self.params, i)
+            results[s] = evaluate_run(
+                self.model, p_i, self.test_loader, self.dataset,
+                self.run_dir / f"seed{s}",
+                quali=per_seed_full, lpips=lpips, label=f"seed{s}",
+                quali_kwargs=quali_kwargs,
+            )
+        best_params = unstack_params(self.params, self.best)
+        results["best"] = evaluate_run(
+            self.model, best_params, self.test_loader, self.dataset,
+            self.run_dir, quali=True, lpips=lpips,
+            label=f"best=seed{self.seeds[self.best]}",
+            quali_kwargs=quali_kwargs,
+        )
+        return results
 
 
 def _pad(arr, bs):

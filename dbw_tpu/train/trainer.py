@@ -30,7 +30,7 @@ from ..utils.config import dump_yaml, load_yaml
 from ..utils.image import ImageLogger
 from ..utils.logger import create_logger, print_log, print_warning
 from ..utils.misc import path_exists, path_mkdir, use_seed
-from ..utils.path import CONFIGS_PATH, DATASETS_PATH, RUNS_PATH
+from ..utils.path import CONFIGS_PATH, RUNS_PATH
 from .checkpoint import load_checkpoint, save_checkpoint
 from .optimizer import create_optimizer
 from .scheduler import create_scheduler
@@ -160,6 +160,11 @@ class Trainer:
             except Exception:
                 print_warning("resume: optimizer state mismatch, reinitializing")
                 self.opt_state = self.optimizer.init(self.params)
+            # replay the uninterrupted run's batch order: the shuffle stream
+            # is keyed by (seed, epoch), so fast-forwarding the epoch counter
+            # makes the resumed epoch see the exact same permutation
+            if hasattr(self.train_loader, "set_epoch"):
+                self.train_loader.set_epoch(self.epoch_start - 1)
         print_log(f"Checkpoint {tag} loaded")
 
     # ------------------------------------------------------------------
@@ -485,41 +490,12 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def evaluate(self):
-        from ..eval.quali import qualitative_eval
-        from ..eval.quant import quantitative_eval
+        from ..eval.full import evaluate_run
 
-        out = path_mkdir(self.run_dir / "quali_eval")
-        qualitative_eval(self.model, self.params, self.test_loader, out)
-
-        scores = quantitative_eval(self.model, self.params, self.test_loader)
-        print_log(
-            "final_scores: "
-            + ", ".join("{}={:.5f}".format(k, v) for k, v in scores.items())
+        evaluate_run(
+            self.model, self.params, self.test_loader, self.dataset,
+            self.run_dir,
         )
-        with open(self.run_dir / "final_scores.tsv", "w") as f:
-            f.write("\t".join(scores.keys()) + "\n")
-            f.write("\t".join(map("{:.5f}".format, scores.values())) + "\n")
-
-        if self.dataset.name == "dtu":
-            from ..eval.dtu_eval import evaluate_mesh
-            from ..eval.export import export_blocks_mesh
-
-            scan_id = int(self.dataset.tag.replace("scan", ""))
-            scale = np.asarray(self.dataset.scale_mat)
-            verts, faces = export_blocks_mesh(
-                self.model, self.params, filter_transparent=True
-            )
-            verts = verts @ scale[:3, :3].T + scale[:3, 3]
-            evaluate_mesh(
-                verts, faces, scan_id, DATASETS_PATH / "DTU", self.run_dir,
-                save_viz=False,
-            )
-        try:
-            from ..utils.html import gallery_from_run_dir
-
-            gallery_from_run_dir(self.run_dir / "quali_eval")
-        except Exception as e:
-            print_warning(f"gallery generation failed: {e}")
         print_log("Evaluation over")
 
 

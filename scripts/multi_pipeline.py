@@ -1,5 +1,18 @@
 """5-seed auto-selection pipeline (reference: scripts/multi_pipeline.sh +
-README 'auto' protocol) as one seed-parallel program."""
+README 'auto' protocol) as one seed-parallel program.
+
+Output surface matches the reference protocol (which runs the full trainer
+per seed, scripts/multi_pipeline.sh:12-23 -> src/trainer.py:241-272):
+- per seed: ``seed{s}/model.pkl``, ``seed{s}/val_metrics.tsv``,
+  ``seed{s}/final_scores.tsv`` (add ``--per-seed-full`` for per-seed
+  quali/DTU artifacts too),
+- protocol run dir: ``train_metrics.tsv``, ``seed_selection.tsv``, the
+  best seed's ``model.pkl``, ``final_scores.tsv``, ``quali_eval/`` and —
+  on DTU — the official-protocol ``dtu_scores.tsv``.
+
+``--resume`` continues an interrupted protocol from ``multi_model.pkl``
+(written at every val interval), replaying the exact batch order.
+"""
 
 import argparse
 import random
@@ -22,6 +35,11 @@ def main():
     p.add_argument("-d", "--default", default=None)
     p.add_argument("--n-seeds", type=int, default=5)
     p.add_argument("--seeds", type=int, nargs="*", default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the run dir's multi_model.pkl")
+    p.add_argument("--per-seed-full", action="store_true",
+                   help="full quali/DTU eval for every seed (reference's "
+                   "exact per-run behavior), not just the best")
     args = p.parse_args()
 
     default_path = None if not args.default else CONFIGS_PATH / args.default
@@ -32,20 +50,9 @@ def main():
     dump_yaml(cfg, run_dir / Path(args.config).name)
     print_log(f"multi_pipeline: seeds={seeds}, run_dir={run_dir}")
 
-    trainer = MultiSeedTrainer(cfg, run_dir, seeds)
-    best_params, best_seed, losses = trainer.run()
-
-    # quantitative eval of the auto-selected model
-    from dbw_tpu.eval.quant import quantitative_eval
-
-    scores = quantitative_eval(trainer.model, best_params, trainer.test_loader)
-    print_log(
-        "auto-selected final_scores: "
-        + ", ".join("{}={:.5f}".format(k, v) for k, v in scores.items())
-    )
-    with open(run_dir / "final_scores.tsv", "w") as f:
-        f.write("\t".join(scores.keys()) + "\n")
-        f.write("\t".join(map("{:.5f}".format, scores.values())) + "\n")
+    trainer = MultiSeedTrainer(cfg, run_dir, seeds, resume=args.resume)
+    trainer.run()
+    trainer.evaluate(per_seed_full=args.per_seed_full)
 
 
 if __name__ == "__main__":
