@@ -319,15 +319,86 @@ class BlocksWorld:
         Accepts a traced K too: the scene-axis runner re-invokes this inside
         its traced, scene-vmapped step so intrinsics become per-scene inputs
         (parallel/scenes.py)."""
-        K = K_ndc if isinstance(K_ndc, jnp.ndarray) else np.asarray(K_ndc)
-        self.camera = Camera(
-            jnp.float32(K[0, 0]), jnp.float32(K[1, 1]),
-            jnp.float32(K[0, 2]), jnp.float32(K[1, 2]),
-        )
         rc = dict(self._renderer_cfg)
-        cameras = rc.pop("cameras", {"name": "perspective"})
-        del cameras  # camera intrinsics come from the dataset K
-        rc.pop("lights", None)  # light config is fixed per renderer flavor
+        # camera registry (reference renderer.py:62-67): 'perspective'
+        # takes intrinsics from the dataset K (update_cameras on first
+        # batch, dbw.py:204-208); 'fov' builds a pytorch3d
+        # FoVPerspectiveCameras-convention pinhole from the config and the
+        # dataset K does NOT override it.
+        # NOTE: with no `cameras` key at all we default to the dataset-K
+        # perspective camera (every shipped reference config names its
+        # camera explicitly; the reference's implicit no-key default is
+        # fov, renderer.py:65, which would ignore the dataset intrinsics).
+        # An explicit `cameras:` block with no name follows the reference's
+        # fov default.
+        had_cam_cfg = rc.get("cameras") is not None
+        cam_cfg = dict(rc.pop("cameras", None) or {})
+        cam_name = cam_cfg.pop("name", "fov" if had_cam_cfg else "perspective")
+        if cam_name == "perspective":
+            cam_cfg.pop("K", None)  # explicit K override (reference kwarg)
+            K = K_ndc if isinstance(K_ndc, jnp.ndarray) else np.asarray(K_ndc)
+            self.camera = Camera(
+                jnp.float32(K[0, 0]), jnp.float32(K[1, 1]),
+                jnp.float32(K[0, 2]), jnp.float32(K[1, 2]),
+            )
+        elif cam_name == "fov":
+            import math
+
+            fov = float(cam_cfg.pop("fov", 60.0))  # pytorch3d default
+            aspect = float(cam_cfg.pop("aspect_ratio", 1.0))
+            cam_cfg.pop("znear", None)  # z range handled by z_clip/z_far
+            cam_cfg.pop("zfar", None)
+            cam_cfg.pop("degrees", None)
+            t = math.tan(math.radians(fov) / 2.0)
+            # pytorch3d FoV NDC projection: fx = 1/(tan * aspect), fy = 1/tan
+            self.camera = Camera(
+                jnp.float32(1.0 / (t * aspect)), jnp.float32(1.0 / t),
+                jnp.float32(0.0), jnp.float32(0.0),
+            )
+        else:
+            raise NotImplementedError(
+                f"unknown camera type: {cam_name!r} "
+                "(supported: 'fov', 'perspective')"
+            )
+        assert not cam_cfg, f"unknown camera config keys: {cam_cfg}"
+
+        # light registry (reference renderer.py:69-78): ambient (default) /
+        # directional / point, pytorch3d default colors; applied to the
+        # train/env/viz flavors (renderer_light keeps its fixed eye-light
+        # setup, reference dbw.py:139-143)
+        light_cfg = dict(rc.pop("lights", None) or {})
+        light_name = light_cfg.pop("name", "ambient")
+        flat1 = lambda v: tuple(np.asarray(v, np.float32).reshape(-1)[:3])
+        if light_name == "ambient":
+            amb = flat1(light_cfg.pop("ambient_color", (1.0, 1.0, 1.0)))
+            light_kw = dict(
+                light_type="ambient",
+                # all-ones ambient is a no-op: keep None so the fused raw
+                # path skips the multiply (reference renderer.py:226-228)
+                ambient_color=None if amb == (1.0, 1.0, 1.0) else amb,
+            )
+        elif light_name in ("directional", "point"):
+            light_kw = dict(
+                light_type=light_name,
+                ambient_color=flat1(
+                    light_cfg.pop("ambient_color", (0.5, 0.5, 0.5))),
+                diffuse_color=flat1(
+                    light_cfg.pop("diffuse_color", (0.3, 0.3, 0.3))),
+            )
+            if light_name == "directional":
+                light_kw["light_direction"] = flat1(
+                    light_cfg.pop("direction", (0.0, 1.0, 0.0)))
+            else:
+                light_kw["light_location"] = flat1(
+                    light_cfg.pop("location", (0.0, 1.0, 0.0)))
+            light_cfg.pop("specular_color", None)  # specular always zero
+        else:
+            raise NotImplementedError(
+                f"unknown light type: {light_name!r} "
+                "(supported: 'ambient', 'directional', 'point')"
+            )
+        assert not light_cfg, f"unknown light config keys: {light_cfg}"
+
         fpp = rc.pop("faces_per_pixel", 25)  # reference default renderer.py:33
         rc.pop("sigma", None)  # handled in __init__ (sigma_coarse)
         detach_bary = rc.pop("detach_bary", False)
@@ -342,14 +413,17 @@ class BlocksWorld:
             sigma=self.sigma_coarse, detach_bary=detach_bary,
             clip_inside=clip_inside, shading=shading,
             background_color=bg_color, z_clip=z_clip, backend=self.backend,
+            **light_kw,
         )
         self.renderer_env = make_env_renderer(
             self.img_size, self.camera, shading=shading,
-            background_color=bg_color, z_clip=z_clip, backend=self.backend
+            background_color=bg_color, z_clip=z_clip, backend=self.backend,
+            **light_kw,
         )
         self.renderer_viz = make_viz_renderer(
-            self.img_size, self.camera, background_color=bg_color,
-            z_clip=z_clip, backend=self.backend
+            self.img_size, self.camera, shading=shading,
+            background_color=bg_color, z_clip=z_clip, backend=self.backend,
+            **light_kw,
         )
         self.renderer_light = make_viz_renderer(
             self.img_size, self.camera, shading="flat",

@@ -38,10 +38,12 @@ class RendererConfig(NamedTuple):
     background_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     clip_inside: bool = True
     detach_bary: bool = False
-    shading: str = "raw"             # 'raw' | 'flat' | 'phong'
+    shading: str = "raw"             # 'raw' | 'flat' | 'phong' | 'gouraud'
     ambient_color: Optional[Tuple[float, float, float]] = None
     diffuse_color: Tuple[float, float, float] = (0.4, 0.4, 0.4)
     light_direction: Tuple[float, float, float] = DIRECTION_LIGHT
+    light_type: str = "directional"  # 'ambient' | 'directional' | 'point'
+    light_location: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     z_clip: float = 1e-3
     supersample: int = 1             # 4 for the antialiased viz renderer
     backend: str = "xla"
@@ -67,7 +69,22 @@ class RendererConfig(NamedTuple):
 class Renderer:
     """Stateless given (config, camera); all methods are jit-friendly."""
 
+    SHADING_TYPES = ("raw", "flat", "phong", "gouraud")
+    LIGHT_TYPES = ("ambient", "directional", "point")
+
     def __init__(self, config: RendererConfig, camera: Camera):
+        # loud config validation (reference renderer.py:203-204 raises
+        # NotImplementedError on unknown shading_type)
+        if config.shading not in self.SHADING_TYPES:
+            raise NotImplementedError(
+                f"unknown shading_type: {config.shading!r} "
+                f"(supported: {self.SHADING_TYPES})"
+            )
+        if config.light_type not in self.LIGHT_TYPES:
+            raise NotImplementedError(
+                f"unknown light type: {config.light_type!r} "
+                f"(supported: {self.LIGHT_TYPES})"
+            )
         self.config = config
         self.camera = camera
 
@@ -85,17 +102,19 @@ class Renderer:
             return self._shade_fused(scene, geom, p2f, sigma)
         rcfg = cfg.raster_config()
         frags = interpolate_fragments(p2f, geom, rcfg, detach_bary=cfg.detach_bary)
-        if cfg.shading == "flat":
-            colors = shade_flat(
-                frags, scene, R, cfg.light_direction, cfg.ambient_color or (0.7,) * 3,
-                cfg.diffuse_color,
-            )
-        elif cfg.shading == "phong":
-            from .shading import shade_phong
+        if cfg.shading in ("flat", "phong", "gouraud"):
+            from .shading import shade_gouraud, shade_phong
 
-            colors = shade_phong(
-                frags, scene, R, cfg.light_direction, cfg.ambient_color or (0.7,) * 3,
-                cfg.diffuse_color,
+            shade = {"flat": shade_flat, "phong": shade_phong,
+                     "gouraud": shade_gouraud}[cfg.shading]
+            # with the reference's default AmbientLights (1,1,1) the lit
+            # shading types leave texels unchanged — the no-op fallback
+            # must therefore be 1, not a dimmed ambient
+            colors = shade(
+                frags, scene, R, cfg.light_direction,
+                cfg.ambient_color or (1.0,) * 3, cfg.diffuse_color,
+                light_type=cfg.light_type,
+                light_location=cfg.light_location,
             )
         else:
             colors = shade_raw(frags, scene, cfg.ambient_color)

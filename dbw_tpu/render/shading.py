@@ -41,16 +41,19 @@ def shade_flat(
     light_direction_cam,
     ambient_color,
     diffuse_color,
+    light_type="directional",
+    light_location=(0.0, 0.0, 0.0),
 ):
-    """Flat shading: per-face world normal, directional light fixed in the
-    camera frame (the reference rotates the light into world per view,
-    renderer.py:87-89)."""
+    """Flat shading: per-face world normal, one light evaluated at the face
+    (directional lights are fixed in the camera frame — the reference
+    rotates them into world per view, renderer.py:87-89)."""
     texels = sample_texture_colors(fragments, scene)
     n = face_normals(scene.verts, scene.faces)  # (F, 3) world
+    centroids = scene.verts[scene.faces].mean(axis=1)  # (F, 3) world
     idx = jnp.maximum(fragments.pix_to_face, 0)
-    nf = n[idx]  # (H, W, K, 3)
-    light = _directional_light(nf, R, light_direction_cam, ambient_color,
-                               diffuse_color)
+    light = _light(n[idx], centroids[idx], R, light_type,
+                   light_direction_cam, light_location, ambient_color,
+                   diffuse_color)
     return texels * light
 
 
@@ -61,6 +64,8 @@ def shade_phong(
     light_direction_cam,
     ambient_color,
     diffuse_color,
+    light_type="directional",
+    light_location=(0.0, 0.0, 0.0),
 ):
     """Per-pixel (Phong) shading with barycentric-interpolated vertex
     normals — the reference's optional 'phong' shading type used by the
@@ -68,22 +73,61 @@ def shade_phong(
     all shipped configs so only ambient + diffuse are computed."""
     texels = sample_texture_colors(fragments, scene)
     vn = vertex_normals(scene.verts, scene.faces)  # (V, 3)
-    from .interpolate import interpolate_face_attrs
-
     n = interpolate_face_attrs(fragments, vn[scene.faces])  # (H, W, K, 3)
     n = n / jnp.linalg.norm(n, axis=-1, keepdims=True).clip(1e-12)
-    light = _directional_light(n, R, light_direction_cam, ambient_color,
-                               diffuse_color)
+    pts = interpolate_face_attrs(fragments, scene.verts[scene.faces])
+    light = _light(n, pts, R, light_type, light_direction_cam,
+                   light_location, ambient_color, diffuse_color)
     return texels * light
 
 
-def _directional_light(normals, R, light_direction_cam, ambient_color,
-                       diffuse_color):
-    d_cam = jnp.asarray(light_direction_cam, dtype=jnp.float32)
-    d_world = d_cam @ R.T  # view->world for row vectors (R orthogonal)
-    d_world = d_world / jnp.linalg.norm(d_world).clip(1e-12)
+def shade_gouraud(
+    fragments: Fragments,
+    scene: MeshScene,
+    R,
+    light_direction_cam,
+    ambient_color,
+    diffuse_color,
+    light_type="directional",
+    light_location=(0.0, 0.0, 0.0),
+):
+    """Gouraud shading: lighting evaluated at the VERTICES (vertex normals
+    + vertex positions), then barycentric-interpolated over the fragment —
+    the reference's 'gouraud' shading type (renderer.py:199-200; pytorch3d
+    gouraud_shading interpolates vertex-evaluated colors). The reference's
+    pytorch3d path requires vertex textures; this TPU-native variant applies
+    the vertex-interpolated light to the UV texels, mirroring how its
+    flat/phong branches modulate texels."""
+    texels = sample_texture_colors(fragments, scene)
+    vn = vertex_normals(scene.verts, scene.faces)  # (V, 3)
+    light_v = _light(vn, scene.verts, R, light_type, light_direction_cam,
+                     light_location, ambient_color, diffuse_color)  # (V, 3)
+    light = interpolate_face_attrs(fragments, light_v[scene.faces])
+    return texels * light
+
+
+def _light(normals, points, R, light_type, light_direction_cam,
+           light_location, ambient_color, diffuse_color):
+    """Ambient / directional / point lighting (reference renderer.py:69-78
+    light registry). Directional lights live in the CAMERA frame and rotate
+    into world per view (reference renderer.py:87-89); point lights are a
+    fixed world-frame location (pytorch3d PointLights semantics)."""
+    ambient = jnp.asarray(ambient_color)
+    if light_type == "ambient":
+        return jnp.broadcast_to(ambient, normals.shape)
+    if light_type == "directional":
+        d_cam = jnp.asarray(light_direction_cam, dtype=jnp.float32)
+        d_world = d_cam @ R.T  # view->world for row vectors (R orthogonal)
+        d_world = d_world / jnp.linalg.norm(d_world).clip(1e-12)
+    elif light_type == "point":
+        d_world = jnp.asarray(light_location, jnp.float32) - points
+        d_world = d_world / jnp.linalg.norm(
+            d_world, axis=-1, keepdims=True
+        ).clip(1e-12)
+    else:  # pragma: no cover - validated at renderer construction
+        raise NotImplementedError(f"unknown light type: {light_type}")
     lam = jnp.maximum(jnp.sum(normals * d_world, axis=-1, keepdims=True), 0.0)
-    return jnp.asarray(ambient_color) + jnp.asarray(diffuse_color) * lam
+    return ambient + jnp.asarray(diffuse_color) * lam
 
 
 def vertex_normals(verts, faces):

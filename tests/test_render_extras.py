@@ -128,3 +128,116 @@ class TestFusedPathEquivalence:
                 np.asarray(fused), np.asarray(modular), atol=2e-5,
                 err_msg=f"sigma={sigma}, detach={detach}",
             )
+
+
+class TestShadingTypesAndRegistries:
+    """Reference renderer config surface: shading_type raw/flat/phong/
+    gouraud (renderer.py:195-204), camera registry fov/perspective
+    (renderer.py:62-67), light registry ambient/directional/point
+    (renderer.py:69-78). Unknown names fail LOUDLY."""
+
+    CFG = dict(
+        mesh=dict(n_blocks=2, txt_size=16, T_range=[0.5, 0.5, 0.5]),
+        rend_optim=dict(decouple_rendering=True, coarse_learning=10),
+        loss=dict(rgb_weight=1),
+    )
+
+    def _model(self, renderer_cfg):
+        from dbw_tpu.models import BlocksWorld
+
+        m = BlocksWorld((24, 32), renderer=renderer_cfg, **self.CFG)
+        K = np.zeros((4, 4), np.float32)
+        K[0, 0] = K[1, 1] = 2.0
+        m.set_camera(K)
+        return m
+
+    def _render(self, m):
+        from dbw_tpu.ops.rotations import look_at_rotation
+
+        params = m.init_params(seed=0)
+        phase = m.phase_for_epoch(0, training=False)
+        R, T = look_at_rotation(3.0, 20.0, jnp.asarray([0.0]))
+        rec, _ = m.predict(params, phase, R, T)
+        return np.asarray(rec)
+
+    @pytest.mark.parametrize("shading", ["raw", "flat", "phong", "gouraud"])
+    def test_shading_types_render(self, shading):
+        m = self._model(dict(faces_per_pixel=2, shading_type=shading))
+        rec = self._render(m)
+        assert np.isfinite(rec).all()
+        assert rec.shape == (1, 24, 32, 3)
+        if shading != "raw":
+            # reference parity: with the default AmbientLights (1,1,1) the
+            # lit shading types leave texels unchanged (pytorch3d ambient
+            # lights contribute no diffuse), so each type must EQUAL raw
+            raw = self._render(
+                self._model(dict(faces_per_pixel=2, shading_type="raw")))
+            np.testing.assert_allclose(rec, raw, atol=1e-5)
+            # and with a directional light it must actually modulate
+            lit = self._render(self._model(dict(
+                faces_per_pixel=2, shading_type=shading,
+                lights=dict(name="directional",
+                            direction=[[1.0, 0.2, -1.0]]),
+            )))
+            assert np.abs(lit - raw).max() > 1e-3
+
+    def test_gouraud_differs_from_phong_but_close(self):
+        lights = dict(name="directional", direction=[[1.0, 0.2, -1.0]],
+                      ambient_color=[[0.4, 0.4, 0.4]],
+                      diffuse_color=[[0.6, 0.6, 0.6]])
+        g = self._render(self._model(dict(
+            faces_per_pixel=2, shading_type="gouraud", lights=lights)))
+        p = self._render(self._model(dict(
+            faces_per_pixel=2, shading_type="phong", lights=lights)))
+        # same light model evaluated at vertices vs pixels: close, not equal
+        assert np.abs(g - p).max() > 1e-6
+        assert np.abs(g - p).mean() < 0.1
+
+    def test_unknown_shading_type_raises(self):
+        with pytest.raises(NotImplementedError, match="shading_type"):
+            self._model(dict(faces_per_pixel=2, shading_type="bogus"))
+
+    def test_fov_camera_overrides_dataset_K(self):
+        m = self._model(dict(faces_per_pixel=2,
+                             cameras=dict(name="fov", fov=90.0)))
+        # fov=90 -> fx = fy = 1/tan(45 deg) = 1, px = py = 0 — NOT the
+        # dataset K (fx=fy=2) passed to set_camera
+        assert float(m.camera.fx) == pytest.approx(1.0)
+        assert float(m.camera.fy) == pytest.approx(1.0)
+        assert float(m.camera.px) == 0.0 and float(m.camera.py) == 0.0
+        assert np.isfinite(self._render(m)).all()
+
+    def test_explicit_camera_block_defaults_to_fov(self):
+        # reference init_cameras: name defaults to 'fov' (renderer.py:65)
+        m = self._model(dict(faces_per_pixel=2, cameras=dict(fov=60.0)))
+        assert float(m.camera.px) == 0.0
+
+    def test_unknown_camera_raises(self):
+        with pytest.raises(NotImplementedError, match="camera"):
+            self._model(dict(faces_per_pixel=2, cameras=dict(name="ortho")))
+
+    def test_ambient_light_scales_raw_render(self):
+        base = self._render(self._model(dict(faces_per_pixel=2)))
+        half = self._render(self._model(dict(
+            faces_per_pixel=2,
+            lights=dict(name="ambient", ambient_color=[[0.5, 0.5, 0.5]]),
+        )))
+        np.testing.assert_allclose(half, base * 0.5, atol=1e-5)
+
+    @pytest.mark.parametrize("light", [
+        dict(name="directional", direction=[[1.0, 0.2, -1.0]]),
+        dict(name="point", location=[[0.0, 2.0, 0.0]]),
+    ])
+    def test_directional_and_point_lights(self, light):
+        m = self._model(dict(faces_per_pixel=2, shading_type="flat",
+                             lights=light))
+        rec = self._render(m)
+        assert np.isfinite(rec).all()
+        amb = self._render(self._model(dict(
+            faces_per_pixel=2, shading_type="flat",
+            lights=dict(name="ambient"))))
+        assert np.abs(rec - amb).max() > 1e-3
+
+    def test_unknown_light_raises(self):
+        with pytest.raises(NotImplementedError, match="light"):
+            self._model(dict(faces_per_pixel=2, lights=dict(name="area")))
