@@ -14,12 +14,10 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .blend import fragment_alpha, layered_blend
+from .blend import layered_blend
 from .cameras import Camera
-from .interpolate import interpolate_fragments
 from .meshes import MeshScene
 from .rasterize import RasterConfig, project_faces, rasterize
-from .shading import shade_flat, shade_raw
 
 DIRECTION_LIGHT = (1.0, 0.25, -1.0)  # camera-frame light (reference renderer.py:21)
 
@@ -100,28 +98,78 @@ class Renderer:
         cfg = self.config
         if cfg.shading == "raw":
             return self._shade_fused(scene, geom, p2f, sigma)
-        rcfg = cfg.raster_config()
-        frags = interpolate_fragments(p2f, geom, rcfg, detach_bary=cfg.detach_bary)
-        if cfg.shading in ("flat", "phong", "gouraud"):
-            from .shading import shade_gouraud, shade_phong
+        # lit shading types run the FLAT-layout stage 2: the (H, W, K, 3, 2)
+        # tensors of the naive modular path tile-pad up to 64x on TPU and
+        # OOM at 4x-supersampled viz scale (see interpolate.py)
+        return self._shade_lit_flat(scene, geom, p2f, R, sigma)
 
-            shade = {"flat": shade_flat, "phong": shade_phong,
-                     "gouraud": shade_gouraud}[cfg.shading]
-            # with the reference's default AmbientLights (1,1,1) the lit
-            # shading types leave texels unchanged — the no-op fallback
-            # must therefore be 1, not a dimmed ambient
-            colors = shade(
-                frags, scene, R, cfg.light_direction,
-                cfg.ambient_color or (1.0,) * 3, cfg.diffuse_color,
-                light_type=cfg.light_type,
-                light_location=cfg.light_location,
+    def _shade_lit_flat(self, scene: MeshScene, geom, p2f, R, sigma):
+        """flat/phong/gouraud shading in (N,) component layout, one view."""
+        from .interpolate import (
+            fragment_alpha_flat,
+            interp_corner_table,
+            interpolate_fragments_flat,
+        )
+        from .meshes import sample_atlas_bilinear
+        from .shading import vertex_normals
+
+        cfg = self.config
+        rcfg = cfg.raster_config()
+        Hs, Ws = rcfg.image_size
+        K = p2f.shape[-1]
+        ff = interpolate_fragments_flat(
+            p2f, geom, rcfg, detach_bary=cfg.detach_bary
+        )
+
+        # texels: uv corner table -> interpolated uv -> bilinear atlas read
+        uv_tab = scene.uv_verts[scene.uv_faces].reshape(-1, 6)
+        # corner-major [u0 v0 | u1 v1 | u2 v2] -> interp wants [a0|a1|a2]
+        uv = interp_corner_table(ff, uv_tab)
+        mi = scene.map_idx[ff.idx]
+        colors = sample_atlas_bilinear(
+            scene.atlas.maps, mi, uv, diff_uv=not cfg.detach_bary
+        )  # (N, 3)
+
+        # lighting (reference LayeredShader shading types, renderer.py:
+        # 195-204): the no-op fallback is 1 — with default AmbientLights
+        # (1,1,1) the lit types leave texels unchanged
+        ambient = jnp.asarray(cfg.ambient_color or (1.0,) * 3)
+        from .shading import _light
+
+        if cfg.shading == "flat":
+            from .meshes import face_normals
+
+            fn = face_normals(scene.verts, scene.faces)       # (F, 3)
+            cent = scene.verts[scene.faces].mean(axis=1)      # (F, 3)
+            light_tab = _light(fn, cent, R, cfg.light_type,
+                               cfg.light_direction, cfg.light_location,
+                               ambient, cfg.diffuse_color)    # (F, 3)
+            light = light_tab[ff.idx]
+        elif cfg.shading == "gouraud":
+            vn = vertex_normals(scene.verts, scene.faces)     # (V, 3)
+            light_v = _light(vn, scene.verts, R, cfg.light_type,
+                             cfg.light_direction, cfg.light_location,
+                             ambient, cfg.diffuse_color)      # (V, 3)
+            light = interp_corner_table(
+                ff, light_v[scene.faces].reshape(-1, 9)
             )
-        else:
-            colors = shade_raw(frags, scene, cfg.ambient_color)
-        alpha = fragment_alpha(frags, sigma, clip_inside=cfg.clip_inside)
-        idx = jnp.maximum(frags.pix_to_face, 0)
-        alpha = alpha * scene.faces_alpha[idx]
-        img = layered_blend(colors, alpha, cfg.background_color)
+        else:  # phong
+            vn = vertex_normals(scene.verts, scene.faces)
+            n = interp_corner_table(ff, vn[scene.faces].reshape(-1, 9))
+            n = n / jnp.linalg.norm(n, axis=-1, keepdims=True).clip(1e-12)
+            pts = interp_corner_table(
+                ff, scene.verts[scene.faces].reshape(-1, 9)
+            )
+            light = _light(n, pts, R, cfg.light_type, cfg.light_direction,
+                           cfg.light_location, ambient, cfg.diffuse_color)
+        colors = colors * light
+
+        alpha = fragment_alpha_flat(ff, sigma, clip_inside=cfg.clip_inside)
+        alpha = alpha * scene.faces_alpha[ff.idx]
+        img = layered_blend(
+            colors.reshape(Hs, Ws, K, 3), alpha.reshape(Hs, Ws, K),
+            cfg.background_color,
+        )
         if cfg.supersample > 1:
             img = _avg_pool_2d(img, cfg.supersample)
         return img
@@ -407,12 +455,16 @@ class Renderer:
             scene.verts, scene.faces, R, T, self.camera, z_clip=cfg.z_clip
         )
         p2f = rasterize(geom, jnp.float32(0.0), rcfg)
-        frags = interpolate_fragments(p2f, geom, rcfg, detach_bary=True)
+        from .interpolate import interpolate_fragments_flat
+
+        # flat stage 2: the (H, W, 1, 3, 2) tensors of the naive path
+        # tile-pad 64x at supersampled resolution (see interpolate.py)
+        ff = interpolate_fragments_flat(p2f, geom, rcfg, detach_bary=True)
         Hs, Ws = rcfg.image_size
         s = min(Hs, Ws) / cfg.supersample  # min of the ORIGINAL image size, scaled
         thresh = (linewidth * cfg.supersample * 2.0 / s) ** 2
-        mask = ((-frags.dists < thresh) & frags.valid).astype(jnp.float32)
-        return mask[..., 0], p2f[..., 0]
+        mask = ((-ff.dists < thresh) & ff.valid).astype(jnp.float32)
+        return mask.reshape(Hs, Ws), p2f[..., 0]
 
     def draw_edges_view(self, img, scene: MeshScene, R, T, colors, linewidth=1.0):
         """Overlay the wireframe (antialiased via the supersample factor)

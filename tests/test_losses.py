@@ -301,3 +301,73 @@ class TestBlockTVReferenceSemantics:
         g0 = np.asarray(g.textures)[0]
         # reference parity: TV gradient flows into the DEAD block's texture
         assert np.abs(g0).max() > 0
+
+
+class TestVGGGoldenVsTorch:
+    """Golden numerics check of the conversion pipeline (VERDICT r2 next
+    #8): a torchvision-layout .pth converted through scripts/convert_vgg.py
+    must reproduce TORCH's own conv-stack outputs. Tolerance: f32 conv
+    reassociation only — rtol 1e-3 across 13 chained convs (activations
+    grow to O(100) by relu5_3; observed max rel dev ~6e-4)."""
+
+    def test_converted_npz_reproduces_torch_forward(self, tmp_path):
+        import sys
+
+        import torch
+        import torch.nn as tnn
+
+        sys.path.insert(0, "scripts")
+        from convert_vgg import convert_vgg
+
+        from dbw_tpu.losses.vgg import _CFG, _SLICE_END_CONV, VGG16Features
+
+        rng = np.random.default_rng(7)
+
+        # torchvision-exact `features` module layout (vgg16: conv/relu with
+        # 'M' maxpools at features.{4,9,16,23})
+        layers, li_map, c_in = [], {}, 3
+        for c in _CFG:
+            if c == "M":
+                layers.append(tnn.MaxPool2d(2, 2))
+            else:
+                li_map[len(layers)] = (c_in, c)
+                layers.append(tnn.Conv2d(c_in, c, 3, padding=1))
+                layers.append(tnn.ReLU(inplace=False))
+                c_in = c
+        features = tnn.Sequential(*layers)
+        sd = {}
+        for li, (ci, co) in li_map.items():
+            sd[f"features.{li}.weight"] = torch.from_numpy(
+                rng.standard_normal((co, ci, 3, 3)).astype(np.float32) * 0.05)
+            sd[f"features.{li}.bias"] = torch.from_numpy(
+                rng.standard_normal(co).astype(np.float32) * 0.01)
+        features.load_state_dict(
+            {k.replace("features.", ""): v for k, v in sd.items()})
+        pth = tmp_path / "vgg16.pth"
+        torch.save(sd, pth)
+
+        # torch golden: slice outputs after relu1_2/2_2/3_3/4_3/5_3
+        x_np = rng.random((2, 32, 40, 3), np.float32)
+        xt = torch.from_numpy(x_np.transpose(0, 3, 1, 2))
+        golden, conv_i, cur = [], 0, xt
+        with torch.no_grad():
+            for layer in features:
+                cur = layer(cur)
+                if isinstance(layer, tnn.ReLU):
+                    conv_i += 1
+                    if conv_i in _SLICE_END_CONV:
+                        golden.append(cur.numpy().transpose(0, 2, 3, 1))
+
+        # ours, through the conversion artifact
+        npz = tmp_path / "vgg16.npz"
+        convert_vgg(pth, npz)
+        vgg = VGG16Features(VGG16Features.load_npz(npz), dtype=jnp.float32)
+        feats = vgg(jnp.asarray(x_np), max_level=5)
+
+        assert len(feats) == len(golden) == 5
+        for lvl, (a, b) in enumerate(zip(feats, golden)):
+            assert a.shape == b.shape, (lvl, a.shape, b.shape)
+            np.testing.assert_allclose(
+                np.asarray(a), b, atol=1e-3, rtol=1e-3,
+                err_msg=f"slice {lvl} (relu levels {_SLICE_END_CONV})",
+            )
