@@ -149,6 +149,24 @@ class MultiSeedTrainer:
             for s in self.orig_seeds
         ]
 
+        # visual evolution streams of the current-best seed (the reference
+        # protocol gets per-run ImageLogger streams from each trainer,
+        # trainer.py:66-69; here one stream tracks the auto-selection)
+        self.viz = bool(tcfg.get("multi_seed_viz", True))
+        if self.viz:
+            from ..utils.image import ImageLogger
+            from ..utils.misc import use_seed
+
+            with use_seed(12345):
+                src = (self.val_loader if len(self.val_loader) > 0
+                       else self.train_loader)
+                samples, _ = next(iter(src))
+            self.viz_samples = {k: v[:4] for k, v in samples.items()}
+            self.rec_logger = ImageLogger(
+                self.run_dir / "reconstructions_best", self.viz_samples
+            )
+            self._predict = None
+
         model, optimizer = self.model, self.optimizer
 
         self.steps_per_call = int(tcfg.get("steps_per_call", 1))
@@ -262,6 +280,32 @@ class MultiSeedTrainer:
         if self.dead[: self.n_valid].all():
             # every seed collapsed: abort like the reference's runs would
             raise RuntimeError("No more blocks....")
+        if self.viz:
+            self._log_best_recon(it, epoch)
+
+    def _log_best_recon(self, it, epoch):
+        """Evolution snapshot of the current-best (min running loss) live
+        seed's reconstruction on the fixed viz views."""
+        masked = np.where(
+            (np.arange(len(self.seeds)) < self.n_valid) & ~self.dead,
+            self.loss_sums, np.inf,
+        )
+        best = int(np.argmin(masked))
+        if self._predict is None:
+            model = self.model
+
+            @jax.jit
+            def predict(p, phase, R, T):
+                return model.predict(p, phase, R, T)[0]
+
+            self._predict = predict
+        phase = self.model.phase_for_epoch(epoch - 1, training=False)
+        p = unstack_params(self.params, best)
+        rec = self._predict(
+            p, phase, jnp.asarray(self.viz_samples["R"]),
+            jnp.asarray(self.viz_samples["T"]),
+        )
+        self.rec_logger.save(np.asarray(rec), it)
 
     def _log_train(self, it, epoch, batch):
         print_log(
@@ -390,6 +434,11 @@ class MultiSeedTrainer:
                     f"{s}\t{final_losses[i]:.6f}\t{int(self.dead[i])}"
                     f"\t{int(i == best)}\n"
                 )
+        if self.viz:
+            try:
+                self.rec_logger.save_video()
+            except Exception as e:  # pragma: no cover - viz is best-effort
+                print_log(f"[multi-seed] evolution video failed: {e}")
         return best_params, self.seeds[best], final_losses[: self.n_valid]
 
     def _flush(self, pending, run_group, cur_iter, epoch):
