@@ -125,17 +125,18 @@ class MultiSceneTrainer:
             per_scene = n_dev // self.n_scene
             nd = n_data
             if nd is None:
-                # prefer the seed axis (zero ICI traffic); data gets the rest
+                # smallest seed axis that fits all requested seeds (seed
+                # columns are free — zero ICI traffic); leftover devices
+                # become the data axis when the view batch divides them,
+                # else they become extra padded seed slots
                 nd = 1
-                for cand in range(per_scene, 0, -1):
-                    if per_scene % cand == 0 and n_seeds % (
-                        per_scene // cand
-                    ) == 0 and self.batch_size % cand == 0 and cand <= (
-                        self.batch_size
-                    ):
-                        seed_ax = per_scene // cand
-                        if seed_ax <= max(n_seeds, 1):
-                            nd = cand
+                for cand_seed in sorted(
+                    d for d in range(1, per_scene + 1) if per_scene % d == 0
+                ):
+                    if cand_seed >= n_seeds:
+                        cand_data = per_scene // cand_seed
+                        if self.batch_size % cand_data == 0:
+                            nd = cand_data
                             break
             if per_scene % nd:
                 raise ValueError(
