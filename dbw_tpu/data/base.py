@@ -85,11 +85,16 @@ class Loader:
         n = len(self.dataset)
         return (n + self.batch_size - 1) // self.batch_size if n else 0
 
-    def __iter__(self):
+    def _epoch_order(self):
+        """Consume one epoch of the (seed, epoch)-keyed shuffle stream."""
         n = len(self.dataset)
         rng = np.random.default_rng((self.seed, self.epoch))
         self.epoch += 1
         order = rng.permutation(n) if self.shuffle else np.arange(n)
+        return order, rng
+
+    def __iter__(self):
+        order, rng = self._epoch_order()
         for k in range(len(self)):
             ids = order[k * self.batch_size : (k + 1) * self.batch_size]
             d = self.dataset
@@ -101,6 +106,19 @@ class Loader:
                 sel = rng.permutation(len(pc))[: int(1e5)]
                 pc = pc[sel]
             yield inp, {"points": pc}
+
+    def iter_indices(self):
+        """Yield per-batch view-index arrays instead of materialized batches.
+
+        Same epoch/shuffle stream as ``__iter__`` (the k-th call yields the
+        k-th permutation for the seed), so a run driven by indices replays
+        the exact batch order of a run driven by materialized batches. Used
+        by the trainer's device-resident data path: the whole scene lives in
+        HBM and batches are gathered ON DEVICE by these indices, so the host
+        ships B int32s per step instead of B full images."""
+        order, _ = self._epoch_order()
+        for k in range(len(self)):
+            yield order[k * self.batch_size : (k + 1) * self.batch_size]
 
 
 def load_image(path, img_size):

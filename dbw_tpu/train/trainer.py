@@ -80,6 +80,14 @@ class Trainer:
         )
 
         self._key = jax.random.PRNGKey(cfg["training"].get("seed", 4321))
+        # Device-resident dataset (SURVEY §7: a whole scene fits in HBM —
+        # 49x300x400x3 f32 ~ 70 MB). Batches are gathered ON DEVICE by view
+        # index inside the jitted step; the host ships B int32s per step
+        # instead of ~7 MB of images (29 MB per 5-step scanned call), which
+        # on the axon tunnel costs more than the device math itself.
+        self._dev_imgs = jnp.asarray(self.dataset.imgs)
+        self._dev_R = jnp.asarray(self.dataset.R)
+        self._dev_T = jnp.asarray(self.dataset.T)
         self._train_step = self._make_train_step()
         self._predict_fn = None
         self._predict_syn_fn = None
@@ -173,7 +181,11 @@ class Trainer:
         model, optimizer = self.model, self.optimizer
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def step(params, opt_state, imgs, R, T, phase, lrs, key):
+        def step(params, opt_state, imgs_all, R_all, T_all, idx, phase, lrs, key):
+            """One optimizer step; the batch is gathered on device from the
+            HBM-resident dataset arrays by the (B,) view-index vector."""
+            imgs, R, T = imgs_all[idx], R_all[idx], T_all[idx]
+
             def loss_fn(p):
                 losses = model.forward(p, phase, imgs, R, T, key)
                 return losses["total"], losses
@@ -184,15 +196,18 @@ class Trainer:
             return params, opt_state, losses
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def multi_step(params, opt_state, imgs_s, R_s, T_s, phase, lrs, keys):
-            """S optimizer steps scanned in ONE device program (inputs have a
-            leading S axis). Amortizes per-dispatch host overhead — on the
-            benched v5e the device step is ~260 ms but each dispatch costs
-            ~500 ms through the host runtime (BENCH_NOTES.md)."""
+        def multi_step(params, opt_state, imgs_all, R_all, T_all, idx_s, phase,
+                       lrs, keys):
+            """S optimizer steps scanned in ONE device program (idx_s is
+            (S, B) view indices). Amortizes per-dispatch host overhead — on
+            the benched v5e the device step is ~260 ms but each dispatch
+            costs ~500 ms through the host runtime (BENCH_NOTES.md) — and
+            avoids shipping S×B images host→device per call."""
 
             def body(carry, xs):
                 p, o = carry
-                imgs, R, T, key = xs
+                idx, key = xs
+                imgs, R, T = imgs_all[idx], R_all[idx], T_all[idx]
 
                 def loss_fn(pp):
                     losses = model.forward(pp, phase, imgs, R, T, key)
@@ -204,7 +219,7 @@ class Trainer:
                 return (p, o), losses
 
             (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), (imgs_s, R_s, T_s, keys)
+                body, (params, opt_state), (idx_s, keys)
             )
             return params, opt_state, losses
 
@@ -215,21 +230,19 @@ class Trainer:
         self._key, k = jax.random.split(self._key)
         return k
 
-    def _pad_batch(self, inp):
-        """Pad a ragged final batch to the static batch size."""
+    def _pad_ids(self, ids):
+        """Pad a ragged final batch's index vector to the static batch size
+        by repeating the last view (same semantics as the old array pad)."""
         B = self.batch_size
-        n = len(inp["imgs"])
-        if n == B:
-            return inp, n
-        out = {}
-        for k, v in inp.items():
-            reps = np.repeat(v[-1:], B - n, axis=0)
-            out[k] = np.concatenate([v, reps], axis=0)
-        return out, n
+        n = len(ids)
+        ids = np.asarray(ids, np.int32)
+        if n < B:
+            ids = np.concatenate([ids, np.repeat(ids[-1:], B - n)])
+        return ids, n
 
-    def run_single_batch_train(self, inp):
+    def run_single_batch_train(self, ids):
         start = time.time()
-        inp, n_real = self._pad_batch(inp)
+        idx, n_real = self._pad_ids(ids)
         phase = self.model.phase_for_epoch(self.cur_epoch - 1, training=True)
         lrs = {
             k: jnp.float32(v)
@@ -237,7 +250,7 @@ class Trainer:
         }
         self.params, self.opt_state, losses = self._train_step(
             self.params, self.opt_state,
-            jnp.asarray(inp["imgs"]), jnp.asarray(inp["R"]), jnp.asarray(inp["T"]),
+            self._dev_imgs, self._dev_R, self._dev_T, jnp.asarray(idx),
             phase, lrs, self._next_key(),
         )
         losses = {f"loss_{k}": float(v) for k, v in losses.items()}
@@ -248,10 +261,10 @@ class Trainer:
         """Run buffered batches (scanned when a full group, single-step for
         ragged tails) and fire any interval actions crossed by the group."""
         if len(pending) == self.steps_per_call:
-            self.run_scanned_batches([inp for _, inp in pending])
+            self.run_scanned_batches([ids for _, ids in pending])
         else:  # ragged tail: reuse the single-step program
-            for _, inp in pending:
-                self.run_single_batch_train(inp)
+            for _, ids in pending:
+                self.run_single_batch_train(ids)
         last_batch = pending[-1][0]
         do_log = do_val = False
         for _ in pending:
@@ -266,17 +279,15 @@ class Trainer:
             self.save(epoch=epoch, batch=last_batch)
         return cur_iter
 
-    def run_scanned_batches(self, inps):
+    def run_scanned_batches(self, ids_list):
         """S batches in one scanned device call (training.steps_per_call > 1).
         Metric streams stay per-step; interval actions fire at call
         boundaries (at most S-1 iterations late)."""
         start = time.time()
-        S = len(inps)
-        padded = [self._pad_batch(inp) for inp in inps]
+        S = len(ids_list)
+        padded = [self._pad_ids(ids) for ids in ids_list]
         n_reals = [n for _, n in padded]
-        stack = lambda key: jnp.asarray(
-            np.stack([p[0][key] for p in padded])
-        )
+        idx_s = jnp.asarray(np.stack([p[0] for p in padded]))
         phase = self.model.phase_for_epoch(self.cur_epoch - 1, training=True)
         lrs = {
             k: jnp.float32(v)
@@ -285,7 +296,7 @@ class Trainer:
         keys = jnp.stack([self._next_key() for _ in range(S)])
         self.params, self.opt_state, losses = self._multi_step(
             self.params, self.opt_state,
-            stack("imgs"), stack("R"), stack("T"), phase, lrs, keys,
+            self._dev_imgs, self._dev_R, self._dev_T, idx_s, phase, lrs, keys,
         )
         losses = jax.tree_util.tree_map(np.asarray, losses)
         dt = (time.time() - start) / max(sum(n_reals), 1)
@@ -306,18 +317,18 @@ class Trainer:
         for epoch in range(self.epoch_start, self.n_epoches + 1):
             self.cur_epoch = epoch
             batch_start = self.batch_start if epoch == self.epoch_start else 1
-            pending = []  # (batch_idx, inp) buffered for a scanned call
-            for batch, (inp, labels) in enumerate(self.train_loader, start=1):
+            pending = []  # (batch_idx, view_ids) buffered for a scanned call
+            for batch, ids in enumerate(self.train_loader.iter_indices(), start=1):
                 if batch < batch_start:
                     continue
                 if S > 1:
-                    pending.append((batch, inp))
+                    pending.append((batch, ids))
                     if len(pending) < S:
                         continue
                     cur_iter = self._flush_scanned(pending, cur_iter, epoch)
                     pending = []
                     continue
-                self.run_single_batch_train(inp)
+                self.run_single_batch_train(ids)
                 if cur_iter % self.train_stat_interval == 0:
                     self.log_train_metrics(cur_iter, epoch, batch)
                 if cur_iter % self.val_stat_interval == 0:
