@@ -73,6 +73,8 @@ class MultiSceneRunner:
         self.mesh = mesh
         self._step = self._build_step()
         self._multi = self._build_multi_step()
+        self._step_idx = self._build_step_idx()
+        self._multi_idx = self._build_multi_step_idx()
 
     def _build_step(self):
         model, optimizer = self.model, self.optimizer
@@ -141,6 +143,105 @@ class MultiSceneRunner:
             return params, opt, losses
 
         return multi
+
+    def _scene_fn_idx(self):
+        """scene_fn variant gathering the view batch on device from the
+        scene's HBM-resident view stack by a (B_local,) index vector."""
+        model, optimizer = self.model, self.optimizer
+
+        def scene_fn(K, p_seeds, o_seeds, imgs_all, R_all, T_all, idx, phase,
+                     lrs, keys):
+            imgs, R, T = imgs_all[idx], R_all[idx], T_all[idx]
+            snapshot = {a: getattr(model, a) for a in _CAMERA_ATTRS}
+            model.set_camera(K)
+            try:
+                def per_seed(p, o, k):
+                    def loss_fn(pp):
+                        losses = model.forward(pp, phase, imgs, R, T, k)
+                        return losses["total"], losses
+
+                    grads, losses = jax.grad(loss_fn, has_aux=True)(p)
+                    grads = jax.lax.pmean(grads, "data")
+                    loss_t = jax.lax.pmean(losses["total"], "data")
+                    updates, o = optimizer.update(grads, o, lrs)
+                    p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
+                    return p, o, loss_t
+
+                return jax.vmap(per_seed)(p_seeds, o_seeds, keys)
+            finally:
+                for a, v in snapshot.items():
+                    setattr(model, a, v)
+
+        return scene_fn
+
+    def _build_step_idx(self):
+        """Device-resident data variant: per-scene view stacks
+        (n_scene, N_views, ...) are sharded over ``scene`` only (replicated
+        within a scene's seed x data block); the step receives (n_scene, B)
+        view indices sharded over (scene, data) and gathers locally."""
+        mesh = self.mesh
+        scene_fn = self._scene_fn_idx()
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(
+                P("scene"),                              # K
+                P("scene", "seed"), P("scene", "seed"),  # params, opt
+                P("scene"), P("scene"), P("scene"),      # imgs/R/T view stacks
+                P("scene", "data"),                      # idx
+                P(), P(),                                # phase, lrs
+                P("scene", "seed"),                      # keys
+            ),
+            out_specs=(
+                P("scene", "seed"), P("scene", "seed"), P("scene", "seed")
+            ),
+            check_vma=False,
+        )
+        def sharded(K, params, opt, imgs_all, R_all, T_all, idx, phase, lrs,
+                    keys):
+            return jax.vmap(
+                lambda k, p, o, ia, ra, ta, ix, ky: scene_fn(
+                    k, p, o, ia, ra, ta, ix, phase, lrs, ky
+                )
+            )(K, params, opt, imgs_all, R_all, T_all, idx, keys)
+
+        self._sharded_idx_raw = sharded
+        return jax.jit(sharded, donate_argnums=(1, 2))
+
+    def _build_multi_step_idx(self):
+        step_inner = self._sharded_idx_raw
+
+        @partial(jax.jit, donate_argnums=(1, 2))
+        def multi(K, params, opt, imgs_all, R_all, T_all, idx_s, phase, lrs,
+                  keys_s):
+            def body(carry, xs):
+                p, o = carry
+                idx, keys = xs
+                p, o, loss = step_inner(K, p, o, imgs_all, R_all, T_all, idx,
+                                        phase, lrs, keys)
+                return (p, o), loss
+
+            (params, opt), losses = jax.lax.scan(
+                body, (params, opt), (idx_s, keys_s)
+            )
+            return params, opt, losses
+
+        return multi
+
+    def step_idx(self, K, params, opt, imgs_all, R_all, T_all, idx, phase,
+                 lrs, keys):
+        """One step with device-resident per-scene view stacks; idx:
+        (n_scene, B) int32 view ids."""
+        return self._step_idx(K, params, opt, imgs_all, R_all, T_all, idx,
+                              phase, lrs, keys)
+
+    def multi_step_idx(self, K, params, opt, imgs_all, R_all, T_all, idx_s,
+                       phase, lrs, keys_s):
+        """SPC scanned steps with device-resident data; idx_s:
+        (SPC, n_scene, B)."""
+        return self._multi_idx(K, params, opt, imgs_all, R_all, T_all, idx_s,
+                               phase, lrs, keys_s)
 
     def step(self, K, params, opt, imgs, R, T, phase, lrs, keys):
         return self._step(K, params, opt, imgs, R, T, phase, lrs, keys)

@@ -63,6 +63,8 @@ class MultiSeedRunner:
         self.n_data = mesh.shape["data"]
         self._step = self._build_step()
         self._multi = self._build_multi_step()
+        self._step_idx = self._build_step_idx()
+        self._multi_idx = self._build_multi_step_idx()
 
     def _per_seed(self):
         model, optimizer = self.model, self.optimizer
@@ -140,6 +142,83 @@ class MultiSeedRunner:
             return params, opt_state, losses  # (SPC, S_local)
 
         return jax.jit(sharded_multi, donate_argnums=(0, 1))
+
+    def _build_step_idx(self):
+        """Device-resident data variant: the WHOLE scene (imgs/R/T) is a
+        replicated device array; the step receives only a (B,) view-index
+        vector sharded over ``data`` and gathers its local view shard on
+        device — no per-step host->device image transfer."""
+        mesh = self.mesh
+        per_seed = self._per_seed()
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(
+                P("seed"), P("seed"),            # params, opt_state
+                P(), P(), P(),                   # imgs_all, R_all, T_all
+                P("data"),                       # idx (view batch indices)
+                P(), P(), P("seed"),             # phase, lrs, keys
+            ),
+            out_specs=(P("seed"), P("seed"), P("seed")),
+            check_vma=False,
+        )
+        def sharded_step(params, opt_state, imgs_all, R_all, T_all, idx,
+                         phase, lrs, keys):
+            imgs, R, T = imgs_all[idx], R_all[idx], T_all[idx]
+            step = jax.vmap(
+                lambda p, o, k: per_seed(p, o, imgs, R, T, phase, lrs, k)
+            )
+            return step(params, opt_state, keys)
+
+        return jax.jit(sharded_step, donate_argnums=(0, 1))
+
+    def _build_multi_step_idx(self):
+        mesh = self.mesh
+        per_seed = self._per_seed()
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(
+                P("seed"), P("seed"),            # params, opt
+                P(), P(), P(),                   # imgs_all, R_all, T_all
+                P(None, "data"),                 # idx_s (SPC, B)
+                P(), P(), P(None, "seed"),       # phase, lrs, keys
+            ),
+            out_specs=(P("seed"), P("seed"), P(None, "seed")),
+            check_vma=False,
+        )
+        def sharded_multi(params, opt_state, imgs_all, R_all, T_all, idx_s,
+                          phase, lrs, keys_s):
+            def body(carry, xs):
+                p, o = carry
+                idx, keys = xs
+                imgs, R, T = imgs_all[idx], R_all[idx], T_all[idx]
+                p, o, loss = jax.vmap(
+                    lambda pp, oo, k: per_seed(pp, oo, imgs, R, T, phase,
+                                               lrs, k)
+                )(p, o, keys)
+                return (p, o), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (idx_s, keys_s)
+            )
+            return params, opt_state, losses  # (SPC, S_local)
+
+        return jax.jit(sharded_multi, donate_argnums=(0, 1))
+
+    def step_idx(self, stacked_params, stacked_opt, imgs_all, R_all, T_all,
+                 idx, phase, lrs, keys):
+        """One step with device-resident data; idx: (B,) int32 view ids."""
+        return self._step_idx(stacked_params, stacked_opt, imgs_all, R_all,
+                              T_all, idx, phase, lrs, keys)
+
+    def multi_step_idx(self, stacked_params, stacked_opt, imgs_all, R_all,
+                       T_all, idx_s, phase, lrs, keys_s):
+        """SPC scanned steps with device-resident data; idx_s: (SPC, B)."""
+        return self._multi_idx(stacked_params, stacked_opt, imgs_all, R_all,
+                               T_all, idx_s, phase, lrs, keys_s)
 
     def multi_step(self, stacked_params, stacked_opt, imgs_s, R_s, T_s,
                    phase, lrs, keys_s):

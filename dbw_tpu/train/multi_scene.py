@@ -39,6 +39,7 @@ from ..utils.logger import print_log
 from ..utils.misc import path_mkdir
 from ..parallel.seeds import stack_params, unstack_params
 from ..parallel.scenes import _CAMERA_ATTRS, stack_scene_params
+from .multi_seed import _pad_ids
 
 MULTI_SCENE_CKPT = "multi_scene_model.pkl"
 
@@ -105,6 +106,27 @@ class MultiSceneTrainer:
         self.model = create_model(cfgs[0], self.datasets[0].img_size)
         self.model.set_camera(self.datasets[0].K[0])
         self.K = jnp.asarray(np.stack([d.K[0] for d in self.datasets]))
+
+        # Device-resident per-scene view stacks (n_scene, N_views, ...):
+        # batches are gathered on device by view index (see train/trainer.py).
+        # Scenes with fewer views are padded by repeating the last view —
+        # indices from each scene's loader only ever reference real views.
+        n_views = max(len(d) for d in self.datasets)
+
+        def _stack(get):
+            padded = []
+            for d in self.datasets:
+                a = get(d)
+                if len(a) < n_views:
+                    a = np.concatenate(
+                        [a, np.repeat(a[-1:], n_views - len(a), axis=0)]
+                    )
+                padded.append(a)
+            return jnp.asarray(np.stack(padded))
+
+        self._dev_imgs = _stack(lambda d: d.imgs)
+        self._dev_R = _stack(lambda d: d.R)
+        self._dev_T = _stack(lambda d: d.T)
 
         # seeds per scene: config seed + offsets (reference multi_pipeline
         # uses independent random seeds; offsets keep them reproducible)
@@ -215,8 +237,8 @@ class MultiSceneTrainer:
             from ..parallel.scenes import MultiSceneRunner
 
             runner = MultiSceneRunner(self.model, self.optimizer, self._mesh)
-            self._step = runner.step
-            self._multi_step = runner.multi_step
+            self._step = runner.step_idx
+            self._multi_step = runner.multi_step_idx
         else:
             self._step, self._multi_step = self._build_vmap_steps()
 
@@ -229,7 +251,9 @@ class MultiSceneTrainer:
 
         model, optimizer = self.model, self.optimizer
 
-        def scene_fn(K, p_seeds, o_seeds, imgs, R, T, phase, lrs, keys):
+        def scene_fn(K, p_seeds, o_seeds, imgs_all, R_all, T_all, idx, phase,
+                     lrs, keys):
+            imgs, R, T = imgs_all[idx], R_all[idx], T_all[idx]
             snapshot = {a: getattr(model, a) for a in _CAMERA_ATTRS}
             model.set_camera(K)
             try:
@@ -250,25 +274,28 @@ class MultiSceneTrainer:
                 for a, v in snapshot.items():
                     setattr(model, a, v)
 
-        def one_step(K, params, opt, imgs, R, T, phase, lrs, keys):
+        def one_step(K, params, opt, imgs_all, R_all, T_all, idx, phase, lrs,
+                     keys):
             return jax.vmap(
-                lambda k, p, o, im, r, t, ky: scene_fn(
-                    k, p, o, im, r, t, phase, lrs, ky
+                lambda k, p, o, ia, ra, ta, ix, ky: scene_fn(
+                    k, p, o, ia, ra, ta, ix, phase, lrs, ky
                 )
-            )(K, params, opt, imgs, R, T, keys)
+            )(K, params, opt, imgs_all, R_all, T_all, idx, keys)
 
         step = jax.jit(one_step, donate_argnums=(1, 2))
 
         @partial(jax.jit, donate_argnums=(1, 2))
-        def multi(K, params, opt, imgs_s, R_s, T_s, phase, lrs, keys_s):
+        def multi(K, params, opt, imgs_all, R_all, T_all, idx_s, phase, lrs,
+                  keys_s):
             def body(carry, xs):
                 p, o = carry
-                imgs, R, T, keys = xs
-                p, o, loss = one_step(K, p, o, imgs, R, T, phase, lrs, keys)
+                idx, keys = xs
+                p, o, loss = one_step(K, p, o, imgs_all, R_all, T_all, idx,
+                                      phase, lrs, keys)
                 return (p, o), loss
 
             (params, opt), losses = jax.lax.scan(
-                body, (params, opt), (imgs_s, R_s, T_s, keys_s)
+                body, (params, opt), (idx_s, keys_s)
             )
             return params, opt, losses
 
@@ -362,23 +389,14 @@ class MultiSceneTrainer:
             cur_iter = (epoch - 1) * self.n_batches + batch_start
 
             def run_group(group):
-                """group: list of (batch_idx, [per-scene (inp, labels)])."""
-                imgs_l, R_l, T_l, n_reals = [], [], [], []
-                for _, items in group:
-                    imgs_sc, R_sc, T_sc = [], [], []
-                    n_real = None
-                    for inp, _ in items:
-                        im, nr = _pad(inp["imgs"], self.batch_size)
-                        R, _ = _pad(inp["R"], self.batch_size)
-                        T, _ = _pad(inp["T"], self.batch_size)
-                        imgs_sc.append(im)
-                        R_sc.append(R)
-                        T_sc.append(T)
-                        n_real = nr
-                    imgs_l.append(np.stack(imgs_sc))
-                    R_l.append(np.stack(R_sc))
-                    T_l.append(np.stack(T_sc))
-                    n_reals.append(n_real)
+                """group: list of (batch_idx, (n_scene, B) view-id arrays)."""
+                idx_l, n_reals = [], []
+                for _, ids_sc in group:
+                    padded = [
+                        _pad_ids(ids, self.batch_size) for ids in ids_sc
+                    ]
+                    idx_l.append(np.stack([p[0] for p in padded]))
+                    n_reals.append(padded[0][1])
                 spc = len(group)
                 n_keys = spc * self.n_scene * self.S
                 self._key, *keys = jax.random.split(self._key, n_keys + 1)
@@ -388,17 +406,15 @@ class MultiSceneTrainer:
                 if spc == 1:
                     self.params, self.opt_state, losses = self._step(
                         self.K, self.params, self.opt_state,
-                        jnp.asarray(imgs_l[0]), jnp.asarray(R_l[0]),
-                        jnp.asarray(T_l[0]), phase, lrs, keys_s[0],
+                        self._dev_imgs, self._dev_R, self._dev_T,
+                        jnp.asarray(idx_l[0]), phase, lrs, keys_s[0],
                     )
                     losses = np.asarray(losses)[None]
                 else:
                     self.params, self.opt_state, losses = self._multi_step(
                         self.K, self.params, self.opt_state,
-                        jnp.asarray(np.stack(imgs_l)),
-                        jnp.asarray(np.stack(R_l)),
-                        jnp.asarray(np.stack(T_l)),
-                        phase, lrs, keys_s,
+                        self._dev_imgs, self._dev_R, self._dev_T,
+                        jnp.asarray(np.stack(idx_l)), phase, lrs, keys_s,
                     )
                     losses = np.asarray(losses)  # (spc, n_scene, S)
                 for g, n_real in enumerate(n_reals):
@@ -413,12 +429,12 @@ class MultiSceneTrainer:
 
             SPC = max(self.steps_per_call, 1)
             pending = []
-            iters = [iter(ld[0]) for ld in self.loaders]
+            iters = [ld[0].iter_indices() for ld in self.loaders]
             for batch in range(1, self.n_batches + 1):
-                items = [next(it) for it in iters]
+                ids_sc = [next(it) for it in iters]
                 if batch < batch_start:
                     continue
-                pending.append((batch, items))
+                pending.append((batch, ids_sc))
                 if len(pending) < SPC:
                     continue
                 cur_iter = self._flush(pending, run_group, cur_iter, epoch)
@@ -521,9 +537,3 @@ class MultiSceneTrainer:
         return results
 
 
-def _pad(arr, bs):
-    n = len(arr)
-    if n == bs:
-        return arr, n
-    reps = np.repeat(arr[-1:], bs - n, axis=0)
-    return np.concatenate([arr, reps], 0), n

@@ -169,17 +169,27 @@ class MultiSeedTrainer:
 
         model, optimizer = self.model, self.optimizer
 
+        # Device-resident dataset: batches are gathered ON DEVICE by view
+        # index inside the jitted step (see train/trainer.py — the host
+        # ships B int32s per step instead of the stacked images).
+        self._dev_imgs = jnp.asarray(self.dataset.imgs)
+        self._dev_R = jnp.asarray(self.dataset.R)
+        self._dev_T = jnp.asarray(self.dataset.T)
+
         self.steps_per_call = int(tcfg.get("steps_per_call", 1))
         if self._mesh is not None:
             from ..parallel.seeds import MultiSeedRunner
 
             runner = MultiSeedRunner(model, optimizer, self._mesh)
-            self._step = runner.step
-            self._multi_step = runner.multi_step
+            self._step = runner.step_idx
+            self._multi_step = runner.multi_step_idx
         else:
             from functools import partial
 
-            def one_step(params_S, opt_S, imgs, R, T, phase, lrs, keys):
+            def one_step(params_S, opt_S, imgs_all, R_all, T_all, idx, phase,
+                         lrs, keys):
+                imgs, R, T = imgs_all[idx], R_all[idx], T_all[idx]
+
                 def one(p, o, k):
                     def loss_fn(pp):
                         losses = model.forward(pp, phase, imgs, R, T, k)
@@ -197,16 +207,17 @@ class MultiSeedTrainer:
             self._step = jax.jit(one_step, donate_argnums=(0, 1))
 
             @partial(jax.jit, donate_argnums=(0, 1))
-            def multi_step(params_S, opt_S, imgs_s, R_s, T_s, phase, lrs,
-                           keys_s):
+            def multi_step(params_S, opt_S, imgs_all, R_all, T_all, idx_s,
+                           phase, lrs, keys_s):
                 def body(carry, xs):
                     p, o = carry
-                    imgs, R, T, keys = xs
-                    p, o, loss = one_step(p, o, imgs, R, T, phase, lrs, keys)
+                    idx, keys = xs
+                    p, o, loss = one_step(p, o, imgs_all, R_all, T_all, idx,
+                                          phase, lrs, keys)
                     return (p, o), loss
 
                 (params_S, opt_S), losses = jax.lax.scan(
-                    body, (params_S, opt_S), (imgs_s, R_s, T_s, keys_s)
+                    body, (params_S, opt_S), (idx_s, keys_s)
                 )
                 return params_S, opt_S, losses
 
@@ -337,15 +348,11 @@ class MultiSeedTrainer:
             cur_iter = (epoch - 1) * self.n_batches + batch_start
 
             def run_group(group):
-                """group: list of (batch_idx, (inp, labels))."""
-                imgs_l, R_l, T_l, n_reals = [], [], [], []
-                for _, (inp, _) in group:
-                    imgs, n_real = _pad(inp["imgs"], self.batch_size)
-                    R, _ = _pad(inp["R"], self.batch_size)
-                    T, _ = _pad(inp["T"], self.batch_size)
-                    imgs_l.append(imgs)
-                    R_l.append(R)
-                    T_l.append(T)
+                """group: list of (batch_idx, view_ids)."""
+                idx_l, n_reals = [], []
+                for _, ids in group:
+                    idx, n_real = _pad_ids(ids, self.batch_size)
+                    idx_l.append(idx)
                     n_reals.append(n_real)
                 spc = len(group)
                 self._key, *keys = jax.random.split(self._key, spc * S + 1)
@@ -353,17 +360,15 @@ class MultiSeedTrainer:
                 if spc == 1:
                     self.params, self.opt_state, losses = self._step(
                         self.params, self.opt_state,
-                        jnp.asarray(imgs_l[0]), jnp.asarray(R_l[0]),
-                        jnp.asarray(T_l[0]), phase, lrs, keys_s[0],
+                        self._dev_imgs, self._dev_R, self._dev_T,
+                        jnp.asarray(idx_l[0]), phase, lrs, keys_s[0],
                     )
                     losses = np.asarray(losses)[None]
                 else:
                     self.params, self.opt_state, losses = self._multi_step(
                         self.params, self.opt_state,
-                        jnp.asarray(np.stack(imgs_l)),
-                        jnp.asarray(np.stack(R_l)),
-                        jnp.asarray(np.stack(T_l)),
-                        phase, lrs, keys_s,
+                        self._dev_imgs, self._dev_R, self._dev_T,
+                        jnp.asarray(np.stack(idx_l)), phase, lrs, keys_s,
                     )
                     losses = np.asarray(losses)
                 # per-batch weighting: losses[i] is the model's mean over the
@@ -381,10 +386,11 @@ class MultiSeedTrainer:
 
             SPC = max(self.steps_per_call, 1)
             pending = []
-            for batch, item in enumerate(self.train_loader, start=1):
+            for batch, ids in enumerate(self.train_loader.iter_indices(),
+                                        start=1):
                 if batch < batch_start:
                     continue
-                pending.append((batch, item))
+                pending.append((batch, ids))
                 if len(pending) < SPC:
                     continue
                 cur_iter = self._flush(pending, run_group, cur_iter, epoch)
@@ -498,9 +504,11 @@ class MultiSeedTrainer:
         return results
 
 
-def _pad(arr, bs):
-    n = len(arr)
-    if n == bs:
-        return arr, n
-    reps = np.repeat(arr[-1:], bs - n, axis=0)
-    return np.concatenate([arr, reps], 0), n
+def _pad_ids(ids, bs):
+    """Pad a ragged final batch's view-index vector by repeating the last
+    view (same semantics as padding the materialized arrays)."""
+    n = len(ids)
+    ids = np.asarray(ids, np.int32)
+    if n < bs:
+        ids = np.concatenate([ids, np.repeat(ids[-1:], bs - n)])
+    return ids, n
