@@ -40,6 +40,45 @@ N_VIZ_SAMPLES = 4
 LIGHT_MEMORY_RESULTS = True
 
 
+class _HostWorker:
+    """Single background thread for host-side interval work (checkpoint
+    pickling, image encoding, dashboard writes).
+
+    The device path never waits for disk/encode: the main thread hands the
+    worker device arrays (snapshots or fresh outputs — never buffers that a
+    later donated step could invalidate) and keeps dispatching train steps;
+    the worker's np.asarray pulls overlap device compute. One thread, FIFO,
+    so artifact writes keep their order; ``join`` drains before anything
+    that must observe the files (final plots, eval, end of run)."""
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q = queue.Queue()
+        self._t = threading.Thread(target=self._loop, daemon=True)
+        self._t.start()
+
+    def _loop(self):
+        while True:
+            fn = self._q.get()
+            if fn is None:
+                self._q.task_done()
+                break
+            try:
+                fn()
+            except Exception as e:  # pragma: no cover - logged, not fatal
+                print_warning(f"host worker task failed: {e}")
+            finally:
+                self._q.task_done()
+
+    def submit(self, fn):
+        self._q.put(fn)
+
+    def join(self):
+        self._q.join()
+
+
 class Trainer:
     """Pipeline to optimize one scene from a config dict (reference
     trainer.py:34-135)."""
@@ -89,6 +128,13 @@ class Trainer:
         self._dev_R = jnp.asarray(self.dataset.R)
         self._dev_T = jnp.asarray(self.dataset.T)
         self._train_step = self._make_train_step()
+        # async host pipeline: train-step losses stay device futures until
+        # the next log interval (the host keeps dispatching, XLA pipelines),
+        # and checkpoint/viz host work runs on a background worker
+        self._host = _HostWorker()
+        self._loss_buffer = []
+        self._window_t0 = time.time()
+        self._window_imgs = 0
         self._predict_fn = None
         self._predict_syn_fn = None
 
@@ -241,7 +287,6 @@ class Trainer:
         return ids, n
 
     def run_single_batch_train(self, ids):
-        start = time.time()
         idx, n_real = self._pad_ids(ids)
         phase = self.model.phase_for_epoch(self.cur_epoch - 1, training=True)
         lrs = {
@@ -253,9 +298,32 @@ class Trainer:
             self._dev_imgs, self._dev_R, self._dev_T, jnp.asarray(idx),
             phase, lrs, self._next_key(),
         )
-        losses = {f"loss_{k}": float(v) for k, v in losses.items()}
-        dt = (time.time() - start) / max(n_real, 1)
-        self.train_metrics.update({"time/img": dt, **losses}, N=n_real)
+        # no sync here: losses stay device futures until the log interval
+        self._loss_buffer.append((losses, [n_real]))
+        self._window_imgs += n_real
+
+    def _drain_losses(self):
+        """Force buffered per-step losses (ONE pipeline sync per log
+        interval instead of per call) and feed the metric meters. time/img
+        is the window's amortized wall-clock per real view — it includes
+        host-side interval work, i.e. true end-to-end throughput."""
+        if not self._loss_buffer:
+            return
+        buf, self._loss_buffer = self._loss_buffer, []
+        forced = [
+            ({k: np.atleast_1d(np.asarray(v)) for k, v in losses.items()}, n)
+            for losses, n in buf
+        ]
+        dt_img = (time.time() - self._window_t0) / max(self._window_imgs, 1)
+        for arrs, n_reals in forced:
+            for s, n_real in enumerate(n_reals):
+                self.train_metrics.update(
+                    {"time/img": dt_img,
+                     **{f"loss_{k}": float(v[s]) for k, v in arrs.items()}},
+                    N=n_real,
+                )
+        self._window_t0 = time.time()
+        self._window_imgs = 0
 
     def _flush_scanned(self, pending, cur_iter, epoch):
         """Run buffered batches (scanned when a full group, single-step for
@@ -283,7 +351,6 @@ class Trainer:
         """S batches in one scanned device call (training.steps_per_call > 1).
         Metric streams stay per-step; interval actions fire at call
         boundaries (at most S-1 iterations late)."""
-        start = time.time()
         S = len(ids_list)
         padded = [self._pad_ids(ids) for ids in ids_list]
         n_reals = [n for _, n in padded]
@@ -298,13 +365,9 @@ class Trainer:
             self.params, self.opt_state,
             self._dev_imgs, self._dev_R, self._dev_T, idx_s, phase, lrs, keys,
         )
-        losses = jax.tree_util.tree_map(np.asarray, losses)
-        dt = (time.time() - start) / max(sum(n_reals), 1)
-        for s in range(S):
-            step_losses = {f"loss_{k}": float(v[s]) for k, v in losses.items()}
-            self.train_metrics.update(
-                {"time/img": dt, **step_losses}, N=n_reals[s]
-            )
+        # no sync here (see _drain_losses)
+        self._loss_buffer.append((losses, n_reals))
+        self._window_imgs += sum(n_reals)
 
     # ------------------------------------------------------------------
 
@@ -347,9 +410,11 @@ class Trainer:
             N, B = self.n_epoches, self.n_batches
         else:  # eval-only resume of a completed run: keep the true cursor
             N, B = self.epoch_start - 1, self.n_batches
+        self._drain_losses()
         self.save(epoch=N, batch=B)
         self.save_metric_plots()
         self.evaluate()
+        self._host.join()
         print_log("Training over")
 
     def step(self, epoch):
@@ -375,21 +440,22 @@ class Trainer:
 
         colors = (fancy_colormap(
             np.linspace(0, 1, len(opacities) + 1)[1:]) * 255).astype(np.uint8)
-        self.visualizer.upload_lineplot(
-            it, self.val_metrics.get_named_values(), title="opacities",
-            colors=colors,
-        )
+        values = self.val_metrics.get_named_values()
+        self._host.submit(lambda: self.visualizer.upload_lineplot(
+            it, values, title="opacities", colors=colors,
+        ))
         self.val_metrics.log_and_reset(it=it, epoch=epoch, batch=batch)
 
     def log_train_metrics(self, it, epoch, batch):
+        self._drain_losses()
         print_log(
             LOG_FMT(epoch, self.n_epoches, batch, self.n_batches,
                     f"train_metrics: {self.train_metrics}")[:1000]
         )
-        self.visualizer.upload_lineplot(
-            it, self.train_metrics.get_named_values(lambda s: "loss" in s),
-            title="train_losses",
-        )
+        values = self.train_metrics.get_named_values(lambda s: "loss" in s)
+        self._host.submit(lambda: self.visualizer.upload_lineplot(
+            it, values, title="train_losses",
+        ))
         self.train_metrics.log_and_reset(it=it, epoch=epoch, batch=batch)
 
     # ------------------------------------------------------------------
@@ -410,49 +476,56 @@ class Trainer:
         return self._predict_fn, self._predict_syn_fn
 
     def log_visualizations(self, cur_iter):
+        """Device renders are dispatched here (fresh output buffers, safe
+        against later donation); the host-side pulls/encodes/writes run on
+        the background worker so training keeps dispatching."""
         predict, predict_syn = self._get_predict_fns()
         epoch = getattr(self, "cur_epoch", self.epoch_start) - 1
         phase = self.model.phase_for_epoch(epoch, training=False)
         R = jnp.asarray(self.viz_samples["R"])
         T = jnp.asarray(self.viz_samples["T"])
+        gt = np.asarray(self.viz_samples["imgs"])
 
         rec = predict(self.params, phase, R, T, self._next_key())
-        rec = self._with_edges(np.asarray(rec), R, T, phase)
-        self.rec_logger.save(rec, cur_iter)
-        gt = np.asarray(self.viz_samples["imgs"])
-        self.visualizer.upload_images(
-            np.stack([gt, rec], 1).reshape(-1, *gt.shape[1:]), "recons", 2
-        )
-
+        rec = self._with_edges(rec, R, T, phase)
         phase_hard = phase._replace(filter_transparent=jnp.asarray(True))
         rec2 = predict(self.params, phase_hard, R, T, self._next_key())
-        self.rec2_logger.save(np.asarray(rec2), cur_iter)
-        self.visualizer.upload_images(
-            np.stack([gt, np.asarray(rec2)], 1).reshape(-1, *gt.shape[1:]),
-            "recons_hard", 2,
-        )
-
         rec3 = predict_syn(self.params, phase, R, T)
-        self.rec3_logger.save(np.asarray(rec3), cur_iter)
-        self.visualizer.upload_images(
-            np.stack([gt, np.asarray(rec3)], 1).reshape(-1, *gt.shape[1:]),
-            "recons_syn", 2,
-        )
-
         txt = self.model.get_arranged_block_txt(self.params)
-        self.txt_logger.save(txt[None], cur_iter)
-        self.visualizer.upload_images(txt[None], "textures", 1, max_size=256)
+
+        def _host():
+            r = np.asarray(rec)
+            self.rec_logger.save(r, cur_iter)
+            self.visualizer.upload_images(
+                np.stack([gt, r], 1).reshape(-1, *gt.shape[1:]), "recons", 2
+            )
+            r2 = np.asarray(rec2)
+            self.rec2_logger.save(r2, cur_iter)
+            self.visualizer.upload_images(
+                np.stack([gt, r2], 1).reshape(-1, *gt.shape[1:]),
+                "recons_hard", 2,
+            )
+            r3 = np.asarray(rec3)
+            self.rec3_logger.save(r3, cur_iter)
+            self.visualizer.upload_images(
+                np.stack([gt, r3], 1).reshape(-1, *gt.shape[1:]),
+                "recons_syn", 2,
+            )
+            t = np.asarray(txt)
+            self.txt_logger.save(t[None], cur_iter)
+            self.visualizer.upload_images(t[None], "textures", 1, max_size=256)
+
+        self._host.submit(_host)
 
     def _with_edges(self, rec, R, T, phase):
         """Overlay per-block wireframes on the soft reconstruction (reference
-        dbw.py:234-238)."""
+        dbw.py:234-238). Device in, device out."""
         try:
             scene, _, _ = self.model.build_scene(self.params, phase)
             colors = self.model.get_scene_face_colors(self.params)
-            imgs = self.model.renderer_viz.draw_edges(
+            return self.model.renderer_viz.draw_edges(
                 jnp.asarray(rec), scene, R, T, colors
             )
-            return np.asarray(imgs)
         except Exception as e:  # pragma: no cover - viz must not kill training
             print_warning(f"edge overlay failed: {e}")
             return rec
@@ -461,12 +534,25 @@ class Trainer:
 
     def save(self, epoch, batch, checkpoint=False):
         name = f"model_{epoch}.pkl" if checkpoint else "model.pkl"
-        save_checkpoint(
-            self.run_dir / name, self.params, self.opt_state, epoch, batch,
-            model_name=self.model.name,
-            model_kwargs=self.cfg.get("model", {}),
+        # device-side snapshot (HBM copy, ~free): the live buffers are
+        # donated by the next train step, so the background writer pickles
+        # the copy while training keeps dispatching
+        snap = lambda t: jax.tree_util.tree_map(
+            lambda x: x.copy() if isinstance(x, jax.Array) else x, t
         )
-        print_log(f"Model saved at {self.run_dir / name}")
+        params, opt_state = snap(self.params), snap(self.opt_state)
+        path = self.run_dir / name
+        model_name = self.model.name
+        model_kwargs = self.cfg.get("model", {})
+
+        def _write():
+            save_checkpoint(
+                path, params, opt_state, epoch, batch,
+                model_name=model_name, model_kwargs=model_kwargs,
+            )
+            print_log(f"Model saved at {path}")
+
+        self._host.submit(_write)
 
     def save_metric_plots(self):
         try:
@@ -493,6 +579,7 @@ class Trainer:
                 fig.savefig(self.run_dir / "opacity.pdf")
 
         self.log_visualizations(None)
+        self._host.join()  # all frames on disk before video assembly
         for logger in [self.rec_logger, self.rec2_logger, self.rec3_logger,
                        self.txt_logger]:
             logger.save_video(rmtree=LIGHT_MEMORY_RESULTS)
