@@ -43,6 +43,7 @@ from ..train.scheduler import create_scheduler
 from ..utils.logger import print_log
 from ..utils.misc import path_mkdir
 from ..parallel.seeds import stack_params, unstack_params
+from .trainer import _HostWorker
 
 MULTI_CKPT = "multi_model.pkl"
 
@@ -175,6 +176,17 @@ class MultiSeedTrainer:
         self._dev_imgs = jnp.asarray(self.dataset.imgs)
         self._dev_R = jnp.asarray(self.dataset.R)
         self._dev_T = jnp.asarray(self.dataset.T)
+        # async host pipeline (see train/trainer.py): per-call losses stay
+        # device futures until a log interval — the old per-call np.asarray
+        # stalled the dispatch pipeline once per call — and checkpoint
+        # pickling runs on a background worker over ONE packed byte buffer
+        from ..utils.device_pack import make_packer
+
+        self._host = _HostWorker()
+        self._loss_buffer = []
+        self._ckpt_pack, self._ckpt_unpack = make_packer(
+            (self.params, self.opt_state)
+        )
 
         self.steps_per_call = int(tcfg.get("steps_per_call", 1))
         if self._mesh is not None:
@@ -230,21 +242,33 @@ class MultiSeedTrainer:
     def save(self, epoch, batch):
         """Stacked-protocol checkpoint: params/opt for ALL seed slots plus
         the epoch/batch cursor, RNG key and running loss accounting — a
-        resume reproduces the uninterrupted run exactly."""
-        to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
-        state = {
+        resume reproduces the uninterrupted run exactly.
+
+        The device state is snapshotted in ONE packed dispatch and the
+        pickle runs on the background worker (one transfer; the main
+        thread keeps dispatching train steps — see train/trainer.py)."""
+        packed = self._ckpt_pack((self.params, self.opt_state))
+        key = np.asarray(self._key)
+        meta = {
             "epoch": epoch, "batch": batch,
             "orig_seeds": self.orig_seeds, "seeds": self.seeds,
             "n_valid": self.n_valid,
-            "params": to_np(self.params), "opt_state": to_np(self.opt_state),
-            "key": np.asarray(self._key), "dead": self.dead.copy(),
+            "key": key, "dead": self.dead.copy(),
             "loss_sums": self.loss_sums.copy(), "n_seen": self.n_seen,
             "model_kwargs": self.cfg.get("model", {}),
         }
-        tmp = self.run_dir / (MULTI_CKPT + ".tmp")
-        with open(tmp, "wb") as f:
-            pickle.dump(state, f)
-        tmp.replace(self.run_dir / MULTI_CKPT)
+
+        def _write():
+            params, opt_state = self._ckpt_unpack(np.asarray(packed))
+            to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
+            state = dict(meta, params=to_np(params),
+                         opt_state=to_np(opt_state))
+            tmp = self.run_dir / (MULTI_CKPT + ".tmp")
+            with open(tmp, "wb") as f:
+                pickle.dump(state, f)
+            tmp.replace(self.run_dir / MULTI_CKPT)
+
+        self._host.submit(_write)
 
     def _restore(self, ckpt):
         if list(ckpt["seeds"]) != list(self.seeds):
@@ -296,7 +320,9 @@ class MultiSeedTrainer:
 
     def _log_best_recon(self, it, epoch):
         """Evolution snapshot of the current-best (min running loss) live
-        seed's reconstruction on the fixed viz views."""
+        seed's reconstruction on the fixed viz views. ONE jitted dispatch
+        (the best-slot gather happens inside the program) returning uint8;
+        the pull/encode runs on the background worker."""
         masked = np.where(
             (np.arange(len(self.seeds)) < self.n_valid) & ~self.dead,
             self.loss_sums, np.inf,
@@ -306,17 +332,21 @@ class MultiSeedTrainer:
             model = self.model
 
             @jax.jit
-            def predict(p, phase, R, T):
-                return model.predict(p, phase, R, T)[0]
+            def predict_best(params_S, best, phase, R, T):
+                p = jax.tree_util.tree_map(lambda x: x[best], params_S)
+                rec = model.predict(p, phase, R, T)[0]
+                return (jnp.clip(rec, 0.0, 1.0) * 255.0 + 0.5).astype(
+                    jnp.uint8
+                )
 
-            self._predict = predict
+            self._predict = predict_best
+            self._viz_R = jnp.asarray(self.viz_samples["R"])
+            self._viz_T = jnp.asarray(self.viz_samples["T"])
         phase = self.model.phase_for_epoch(epoch - 1, training=False)
-        p = unstack_params(self.params, best)
         rec = self._predict(
-            p, phase, jnp.asarray(self.viz_samples["R"]),
-            jnp.asarray(self.viz_samples["T"]),
+            self.params, np.int32(best), phase, self._viz_R, self._viz_T
         )
-        self.rec_logger.save(np.asarray(rec), it)
+        self._host.submit(lambda: self.rec_logger.save(np.asarray(rec), it))
 
     def _log_train(self, it, epoch, batch):
         print_log(
@@ -331,6 +361,15 @@ class MultiSeedTrainer:
     # ------------------------------------------------------------------
 
     def run(self):
+        try:
+            return self._run()
+        except BaseException:
+            # async checkpoint saves must land before the exception
+            # propagates — a killed protocol resumes from that file
+            self._host.join()
+            raise
+
+    def _run(self):
         S = len(self.seeds)
         t0 = time.time()
         for epoch in range(self.epoch_start, self.n_epoches + 1):
@@ -340,6 +379,9 @@ class MultiSeedTrainer:
                 for k, v in self.scheduler.lrs(epoch - 1).items()
             }
             if epoch != self.epoch_start or self.batch_start == 1:
+                # any still-buffered loss futures belong to the PREVIOUS
+                # epoch's accounting — drain before resetting the sums
+                self._drain_losses()
                 self.loss_sums[:] = 0.0
                 self.n_seen = 0
             batch_start = (
@@ -363,26 +405,16 @@ class MultiSeedTrainer:
                         self._dev_imgs, self._dev_R, self._dev_T,
                         jnp.asarray(idx_l[0]), phase, lrs, keys_s[0],
                     )
-                    losses = np.asarray(losses)[None]
                 else:
                     self.params, self.opt_state, losses = self._multi_step(
                         self.params, self.opt_state,
                         self._dev_imgs, self._dev_R, self._dev_T,
                         jnp.asarray(np.stack(idx_l)), phase, lrs, keys_s,
                     )
-                    losses = np.asarray(losses)
-                # per-batch weighting: losses[i] is the model's mean over the
-                # PADDED batch (a ragged tail's pad views duplicate its last
-                # view, so that view is slightly over-weighted — matching the
-                # single-seed trainer's documented <1% bias); weighting by
-                # n_real keeps whole-batch vs tail-batch accounting right
-                for i, n_real in enumerate(n_reals):
-                    self.loss_sums[:] = self.loss_sums + losses[i] * n_real
-                    self.n_seen += n_real
-                    self.train_metrics.update({
-                        f"loss_s{s}": float(losses[i][j])
-                        for j, s in enumerate(self.orig_seeds)
-                    }, N=n_real)
+                # no sync here: the (spc, S) losses stay a device future
+                # until the next log/val interval (_drain_losses) so the
+                # host keeps dispatching and XLA pipelines the calls
+                self._loss_buffer.append((losses, n_reals))
 
             SPC = max(self.steps_per_call, 1)
             pending = []
@@ -405,6 +437,7 @@ class MultiSeedTrainer:
                     f"({time.time() - t0:.1f}s)"
                 )
 
+        self._drain_losses()
         final_losses = self.loss_sums / max(self.n_seen, 1)
         # padded duplicate-seed slots and dead seeds are excluded
         masked = np.where(
@@ -440,12 +473,36 @@ class MultiSeedTrainer:
                     f"{s}\t{final_losses[i]:.6f}\t{int(self.dead[i])}"
                     f"\t{int(i == best)}\n"
                 )
+        self._host.join()  # checkpoint + viz frames on disk before videos
         if self.viz:
             try:
                 self.rec_logger.save_video()
             except Exception as e:  # pragma: no cover - viz is best-effort
                 print_log(f"[multi-seed] evolution video failed: {e}")
         return best_params, self.seeds[best], final_losses[: self.n_valid]
+
+    def _drain_losses(self):
+        """Force buffered per-group losses (ONE device concat + ONE
+        transfer per interval) and feed the running per-seed accounting.
+
+        Per-batch weighting: each row is the model's mean over the PADDED
+        batch (a ragged tail's pad views duplicate its last view, so that
+        view is slightly over-weighted — matching the single-seed trainer's
+        documented <1% bias); weighting by n_real keeps whole-batch vs
+        tail-batch accounting right."""
+        if not self._loss_buffer:
+            return
+        buf, self._loss_buffer = self._loss_buffer, []
+        mats = [v if v.ndim == 2 else v[None] for v, _ in buf]
+        rows = np.asarray(jnp.concatenate(mats) if len(mats) > 1 else mats[0])
+        n_reals = [n for _, ns in buf for n in ns]
+        for row, n_real in zip(rows, n_reals):
+            self.loss_sums[:] = self.loss_sums + row * n_real
+            self.n_seen += n_real
+            self.train_metrics.update({
+                f"loss_s{s}": float(row[j])
+                for j, s in enumerate(self.orig_seeds)
+            }, N=n_real)
 
     def _flush(self, pending, run_group, cur_iter, epoch):
         """Run a buffered batch group and fire interval actions crossed by
@@ -460,8 +517,10 @@ class MultiSeedTrainer:
                 do_val |= cur_iter % self.val_stat_interval == 0
             cur_iter += 1
         if do_log:
+            self._drain_losses()
             self._log_train(cur_iter - 1, epoch, last_batch)
         if do_val:
+            self._drain_losses()  # selection state must be current
             self._val_and_log(cur_iter - 1, epoch, last_batch)
             self.save(epoch, last_batch)
         return cur_iter

@@ -118,7 +118,16 @@ class Trainer:
             f"batch={self.batch_start}, lr={self.cur_lr}"
         )
 
-        self._key = jax.random.PRNGKey(cfg["training"].get("seed", 4321))
+        # Per-step RNG is derived INSIDE the jitted step from a resident
+        # base key and an int32 step counter (fold_in) — the old host-side
+        # split chain cost one device dispatch per key, ~6 dispatches per
+        # scanned call on the high-latency axon runtime. The counter is the
+        # global step index, so a resumed run replays the exact key stream.
+        self._base_key = jax.random.PRNGKey(cfg["training"].get("seed", 4321))
+        self._step_ctr = (self.epoch_start - 1) * self.n_batches + (
+            self.batch_start - 1
+        )
+        self._viz_ctr = 0
         # Device-resident dataset (SURVEY §7: a whole scene fits in HBM —
         # 49x300x400x3 f32 ~ 70 MB). Batches are gathered ON DEVICE by view
         # index inside the jitted step; the host ships B int32s per step
@@ -127,7 +136,14 @@ class Trainer:
         self._dev_imgs = jnp.asarray(self.dataset.imgs)
         self._dev_R = jnp.asarray(self.dataset.R)
         self._dev_T = jnp.asarray(self.dataset.T)
+        # fixed loss-vector order: steps return ONE stacked (S, L) array
+        # instead of a dict of S-vectors (one transfer per log window
+        # instead of one per loss per call)
+        self._loss_keys = [n[len("loss_"):] for n in self.model.loss_names]
         self._train_step = self._make_train_step()
+        # Phase/LR device scalars change once per EPOCH; rebuilding them per
+        # call shipped ~8 tiny host->device transfers per dispatch
+        self._epoch_consts_cache = None
         # async host pipeline: train-step losses stay device futures until
         # the next log interval (the host keeps dispatching, XLA pipelines),
         # and checkpoint/viz host work runs on a background worker
@@ -137,6 +153,15 @@ class Trainer:
         self._window_imgs = 0
         self._predict_fn = None
         self._predict_syn_fn = None
+        self._viz_fn = None
+        self._viz_fn_failed = False
+        # checkpoint snapshots: ONE jitted pack dispatch + ONE byte-buffer
+        # pull instead of per-leaf copies/transfers (utils/device_pack.py)
+        from ..utils.device_pack import make_packer
+
+        self._ckpt_pack, self._ckpt_unpack = make_packer(
+            (self.params, self.opt_state)
+        )
 
         # metric streams: append whenever ANY prior progress exists (a
         # mid-first-epoch resume must not truncate the logged history)
@@ -160,6 +185,13 @@ class Trainer:
         self.viz_samples = {
             k: v[:N_VIZ_SAMPLES] for k, v in samples.items()
         }
+        # device-resident viz cameras + uint8 GT: the viz streams transfer
+        # uint8 (4x less tunnel traffic than f32) so GT must match dtype
+        self._viz_R = jnp.asarray(self.viz_samples["R"])
+        self._viz_T = jnp.asarray(self.viz_samples["T"])
+        self._viz_gt_u8 = (
+            np.clip(np.asarray(self.viz_samples["imgs"]), 0, 1) * 255 + 0.5
+        ).astype(np.uint8)
         out_ext = "jpg" if LIGHT_MEMORY_RESULTS else "png"
         self.rec_logger = ImageLogger(
             self.run_dir / "reconstructions", self.viz_samples, out_ext=out_ext
@@ -225,56 +257,71 @@ class Trainer:
 
     def _make_train_step(self):
         model, optimizer = self.model, self.optimizer
+        loss_keys = self._loss_keys
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def step(params, opt_state, imgs_all, R_all, T_all, idx, phase, lrs, key):
-            """One optimizer step; the batch is gathered on device from the
-            HBM-resident dataset arrays by the (B,) view-index vector."""
+        def one_step(p, o, imgs_all, R_all, T_all, payload, phase, lrs,
+                     base_key):
+            """One optimizer step. ``payload`` is (B+1,) int32: B view
+            indices (the batch is gathered on device from the HBM-resident
+            dataset) + the global step counter the per-step RNG key is
+            folded from. Returns the losses as ONE (L,) vector in
+            ``self._loss_keys`` order so the host pulls a single array per
+            log window instead of a dict of scalars per step."""
+            idx, ctr = payload[:-1], payload[-1]
+            key = jax.random.fold_in(base_key, ctr)
             imgs, R, T = imgs_all[idx], R_all[idx], T_all[idx]
 
-            def loss_fn(p):
-                losses = model.forward(p, phase, imgs, R, T, key)
+            def loss_fn(pp):
+                losses = model.forward(pp, phase, imgs, R, T, key)
                 return losses["total"], losses
 
-            grads, losses = jax.grad(loss_fn, has_aux=True)(params)
-            updates, opt_state = optimizer.update(grads, opt_state, lrs)
-            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-            return params, opt_state, losses
+            grads, losses = jax.grad(loss_fn, has_aux=True)(p)
+            updates, o = optimizer.update(grads, o, lrs)
+            p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
+            return p, o, jnp.stack([losses[k] for k in loss_keys])
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def multi_step(params, opt_state, imgs_all, R_all, T_all, idx_s, phase,
-                       lrs, keys):
-            """S optimizer steps scanned in ONE device program (idx_s is
-            (S, B) view indices). Amortizes per-dispatch host overhead — on
-            the benched v5e the device step is ~260 ms but each dispatch
-            costs ~500 ms through the host runtime (BENCH_NOTES.md) — and
-            avoids shipping S×B images host→device per call."""
+        def step(params, opt_state, imgs_all, R_all, T_all, payload, phase,
+                 lrs, base_key):
+            return one_step(params, opt_state, imgs_all, R_all, T_all,
+                            payload, phase, lrs, base_key)
 
-            def body(carry, xs):
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def multi_step(params, opt_state, imgs_all, R_all, T_all, payload_s,
+                       phase, lrs, base_key):
+            """S optimizer steps scanned in ONE device program (payload_s is
+            (S, B+1) view indices + step counters). Amortizes per-dispatch
+            host overhead — on the benched v5e the device step is ~260 ms
+            but each dispatch costs ~500 ms through the host runtime
+            (BENCH_NOTES.md) — and avoids shipping S×B images host→device
+            per call. Returns (S, L) stacked loss vectors."""
+
+            def body(carry, payload):
                 p, o = carry
-                idx, key = xs
-                imgs, R, T = imgs_all[idx], R_all[idx], T_all[idx]
-
-                def loss_fn(pp):
-                    losses = model.forward(pp, phase, imgs, R, T, key)
-                    return losses["total"], losses
-
-                grads, losses = jax.grad(loss_fn, has_aux=True)(p)
-                updates, o = optimizer.update(grads, o, lrs)
-                p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
-                return (p, o), losses
+                p, o, vec = one_step(p, o, imgs_all, R_all, T_all, payload,
+                                     phase, lrs, base_key)
+                return (p, o), vec
 
             (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), (idx_s, keys)
+                body, (params, opt_state), payload_s
             )
             return params, opt_state, losses
 
         self._multi_step = multi_step
         return step
 
-    def _next_key(self):
-        self._key, k = jax.random.split(self._key)
-        return k
+    def _epoch_consts(self):
+        """Phase + LR device scalars for the current epoch (cached: they
+        only change at epoch boundaries; rebuilding per call costs ~8 tiny
+        host->device transfers on the axon tunnel)."""
+        e = self.cur_epoch
+        if self._epoch_consts_cache is None or self._epoch_consts_cache[0] != e:
+            phase = self.model.phase_for_epoch(e - 1, training=True)
+            lrs = {
+                k: jnp.float32(v) for k, v in self.scheduler.lrs(e - 1).items()
+            }
+            self._epoch_consts_cache = (e, phase, lrs)
+        return self._epoch_consts_cache[1], self._epoch_consts_cache[2]
 
     def _pad_ids(self, ids):
         """Pad a ragged final batch's index vector to the static batch size
@@ -288,15 +335,13 @@ class Trainer:
 
     def run_single_batch_train(self, ids):
         idx, n_real = self._pad_ids(ids)
-        phase = self.model.phase_for_epoch(self.cur_epoch - 1, training=True)
-        lrs = {
-            k: jnp.float32(v)
-            for k, v in self.scheduler.lrs(self.cur_epoch - 1).items()
-        }
+        phase, lrs = self._epoch_consts()
+        payload = np.append(idx, np.int32(self._step_ctr)).astype(np.int32)
+        self._step_ctr += 1
         self.params, self.opt_state, losses = self._train_step(
             self.params, self.opt_state,
-            self._dev_imgs, self._dev_R, self._dev_T, jnp.asarray(idx),
-            phase, lrs, self._next_key(),
+            self._dev_imgs, self._dev_R, self._dev_T, jnp.asarray(payload),
+            phase, lrs, self._base_key,
         )
         # no sync here: losses stay device futures until the log interval
         self._loss_buffer.append((losses, [n_real]))
@@ -310,18 +355,19 @@ class Trainer:
         if not self._loss_buffer:
             return
         buf, self._loss_buffer = self._loss_buffer, []
-        forced = [
-            ({k: np.atleast_1d(np.asarray(v)) for k, v in losses.items()}, n)
-            for losses, n in buf
-        ]
+        # each entry is an (L,) or (S, L) stacked loss vector; ONE device
+        # concat + ONE transfer drains the whole window
+        mats = [v if v.ndim == 2 else v[None] for v, _ in buf]
+        rows = np.asarray(jnp.concatenate(mats) if len(mats) > 1 else mats[0])
+        n_reals = [n for _, ns in buf for n in ns]
         dt_img = (time.time() - self._window_t0) / max(self._window_imgs, 1)
-        for arrs, n_reals in forced:
-            for s, n_real in enumerate(n_reals):
-                self.train_metrics.update(
-                    {"time/img": dt_img,
-                     **{f"loss_{k}": float(v[s]) for k, v in arrs.items()}},
-                    N=n_real,
-                )
+        for vec, n_real in zip(rows, n_reals):
+            self.train_metrics.update(
+                {"time/img": dt_img,
+                 **{f"loss_{k}": float(v)
+                    for k, v in zip(self._loss_keys, vec)}},
+                N=n_real,
+            )
         self._window_t0 = time.time()
         self._window_imgs = 0
 
@@ -342,8 +388,8 @@ class Trainer:
         if do_log:
             self.log_train_metrics(cur_iter - 1, epoch, last_batch)
         if do_val:
-            self.run_val_and_log(cur_iter - 1, epoch, last_batch)
-            self.log_visualizations(cur_iter - 1)
+            op = self.log_visualizations(cur_iter - 1)
+            self.run_val_and_log(cur_iter - 1, epoch, last_batch, opacities=op)
             self.save(epoch=epoch, batch=last_batch)
         return cur_iter
 
@@ -354,16 +400,16 @@ class Trainer:
         S = len(ids_list)
         padded = [self._pad_ids(ids) for ids in ids_list]
         n_reals = [n for _, n in padded]
-        idx_s = jnp.asarray(np.stack([p[0] for p in padded]))
-        phase = self.model.phase_for_epoch(self.cur_epoch - 1, training=True)
-        lrs = {
-            k: jnp.float32(v)
-            for k, v in self.scheduler.lrs(self.cur_epoch - 1).items()
-        }
-        keys = jnp.stack([self._next_key() for _ in range(S)])
+        ctrs = np.arange(self._step_ctr, self._step_ctr + S, dtype=np.int32)
+        self._step_ctr += S
+        payload_s = jnp.asarray(np.concatenate(
+            [np.stack([p[0] for p in padded]), ctrs[:, None]], axis=1
+        ).astype(np.int32))
+        phase, lrs = self._epoch_consts()
         self.params, self.opt_state, losses = self._multi_step(
             self.params, self.opt_state,
-            self._dev_imgs, self._dev_R, self._dev_T, idx_s, phase, lrs, keys,
+            self._dev_imgs, self._dev_R, self._dev_T, payload_s, phase, lrs,
+            self._base_key,
         )
         # no sync here (see _drain_losses)
         self._loss_buffer.append((losses, n_reals))
@@ -373,6 +419,16 @@ class Trainer:
 
     @use_seed()
     def run(self):
+        try:
+            self._run()
+        except BaseException:
+            # checkpoint writes are async (background worker): a run that
+            # dies right after save() must still land the file on disk —
+            # that checkpoint is exactly what a resume will read
+            self._host.join()
+            raise
+
+    def _run(self):
         cur_iter = (self.epoch_start - 1) * self.n_batches + self.batch_start
         self.cur_epoch = self.epoch_start
         self.log_visualizations(cur_iter)
@@ -395,8 +451,8 @@ class Trainer:
                 if cur_iter % self.train_stat_interval == 0:
                     self.log_train_metrics(cur_iter, epoch, batch)
                 if cur_iter % self.val_stat_interval == 0:
-                    self.run_val_and_log(cur_iter, epoch, batch)
-                    self.log_visualizations(cur_iter)
+                    op = self.log_visualizations(cur_iter)
+                    self.run_val_and_log(cur_iter, epoch, batch, opacities=op)
                     self.save(epoch=epoch, batch=batch)
                 cur_iter += 1
             if pending:
@@ -425,8 +481,9 @@ class Trainer:
                 LOG_FMT(epoch, self.n_epoches, 1, self.n_batches, f"LR update: lr={lr}")
             )
 
-    def run_val_and_log(self, it, epoch, batch):
-        opacities = np.asarray(self.model.get_opacities(self.params))
+    def run_val_and_log(self, it, epoch, batch, opacities=None):
+        if opacities is None:
+            opacities = np.asarray(self.model.get_opacities(self.params))
         if (opacities > 0.01).sum() == 0:
             raise RuntimeError("No more blocks....")
         self.val_metrics.update(
@@ -475,21 +532,120 @@ class Trainer:
             self._predict_fn, self._predict_syn_fn = predict, predict_syn
         return self._predict_fn, self._predict_syn_fn
 
+    def _get_viz_fn(self):
+        """ONE jitted program for all viz streams: soft recon + edge
+        overlay, hard recon, synthetic-color recon, texture grid — plus the
+        opacity vector the val log needs. Collapses ~6 dispatches per val
+        interval into one (each dispatch costs 100s of ms through the axon
+        runtime) and returns uint8 so the background pull ships 4x fewer
+        bytes."""
+        if self._viz_fn is None:
+            model = self.model
+            from ..utils.colors import fancy_colormap
+
+            vals = np.linspace(0, 1, model.n_blocks + 1)[1:]
+            base_colors = jnp.asarray(fancy_colormap(vals), jnp.float32)
+            nfe = model.env_n_faces
+            ncol = min(5, model.n_blocks)
+            nrow = max(model.n_blocks // ncol, 1)
+            kill = model.kill_blocks
+
+            @jax.jit
+            def viz_all(params, phase, R, T, vctr, base_key):
+                # viz RNG stream: disjoint from training (training counters
+                # are global step indices folded directly)
+                k1 = jax.random.fold_in(base_key, -(2 * vctr + 1))
+                k2 = jax.random.fold_in(base_key, -(2 * vctr + 2))
+                op = model.get_opacities(params)
+                to8 = lambda x: (
+                    jnp.clip(x, 0.0, 1.0) * 255.0 + 0.5
+                ).astype(jnp.uint8)
+                rec = model.predict(params, phase, R, T, key=k1)[0]
+                # edge overlay (reference dbw.py:234-238); face palette =
+                # get_scene_face_colors inlined in jnp (dead blocks black)
+                scene, _, _ = model.build_scene(params, phase)
+                cols = base_colors
+                if kill:
+                    cols = jnp.where((op > 0.01)[:, None], cols, 0.0)
+                face_cols = jnp.concatenate(
+                    [jnp.zeros((nfe, 3)), jnp.repeat(cols, model.BNF, axis=0)]
+                )
+                rec = model.renderer_viz.draw_edges(rec, scene, R, T, face_cols)
+                phase_hard = phase._replace(
+                    filter_transparent=jnp.asarray(True)
+                )
+                rec2 = model.predict(params, phase_hard, R, T, key=k2)[0]
+                rec3 = model.predict_synthetic(params, phase, R, T)
+                # texture grid (get_arranged_block_txt inlined in jnp)
+                maps = jax.nn.sigmoid(params.textures)
+                rows = [
+                    jnp.concatenate(
+                        [maps[k] for k in range(ncol * i, ncol * (i + 1))],
+                        axis=1,
+                    )
+                    for i in range(nrow)
+                ]
+                txt = jnp.concatenate(rows) if len(rows) > 1 else rows[0]
+                return to8(rec), to8(rec2), to8(rec3), to8(txt), op
+
+            self._viz_fn = viz_all
+        return self._viz_fn
+
     def log_visualizations(self, cur_iter):
         """Device renders are dispatched here (fresh output buffers, safe
         against later donation); the host-side pulls/encodes/writes run on
-        the background worker so training keeps dispatching."""
-        predict, predict_syn = self._get_predict_fns()
+        the background worker so training keeps dispatching. Returns the
+        opacity vector (np) so the caller's val logging reuses the same
+        device dispatch."""
         epoch = getattr(self, "cur_epoch", self.epoch_start) - 1
         phase = self.model.phase_for_epoch(epoch, training=False)
-        R = jnp.asarray(self.viz_samples["R"])
-        T = jnp.asarray(self.viz_samples["T"])
-        gt = np.asarray(self.viz_samples["imgs"])
+        vctr = self._viz_ctr
+        self._viz_ctr += 1
+        if not self._viz_fn_failed:
+            try:
+                rec, rec2, rec3, txt, op = self._get_viz_fn()(
+                    self.params, phase, self._viz_R, self._viz_T,
+                    np.int32(vctr), self._base_key,
+                )
+            except Exception as e:  # pragma: no cover - viz must not kill training
+                print_warning(f"fused viz failed ({e}); using modular path")
+                self._viz_fn_failed = True
+        if self._viz_fn_failed:
+            return self._log_visualizations_fallback(cur_iter, phase, vctr)
+        op_np = np.asarray(op)
+        gt = self._viz_gt_u8
 
-        rec = predict(self.params, phase, R, T, self._next_key())
+        def _host():
+            for arr, logger, title in (
+                (rec, self.rec_logger, "recons"),
+                (rec2, self.rec2_logger, "recons_hard"),
+                (rec3, self.rec3_logger, "recons_syn"),
+            ):
+                r = np.asarray(arr)
+                logger.save(r, cur_iter)
+                self.visualizer.upload_images(
+                    np.stack([gt, r], 1).reshape(-1, *gt.shape[1:]), title, 2
+                )
+            t = np.asarray(txt)
+            self.txt_logger.save(t[None], cur_iter)
+            self.visualizer.upload_images(t[None], "textures", 1, max_size=256)
+
+        self._host.submit(_host)
+        return op_np
+
+    def _log_visualizations_fallback(self, cur_iter, phase, vctr):
+        """Modular multi-dispatch viz (pre-fusion path), kept as a safety
+        net if the fused program fails to compile on a backend."""
+        predict, predict_syn = self._get_predict_fns()
+        R, T = self._viz_R, self._viz_T
+        gt = np.asarray(self.viz_samples["imgs"])
+        k1 = jax.random.fold_in(self._base_key, -(2 * vctr + 1))
+        k2 = jax.random.fold_in(self._base_key, -(2 * vctr + 2))
+
+        rec = predict(self.params, phase, R, T, k1)
         rec = self._with_edges(rec, R, T, phase)
         phase_hard = phase._replace(filter_transparent=jnp.asarray(True))
-        rec2 = predict(self.params, phase_hard, R, T, self._next_key())
+        rec2 = predict(self.params, phase_hard, R, T, k2)
         rec3 = predict_syn(self.params, phase, R, T)
         txt = self.model.get_arranged_block_txt(self.params)
 
@@ -516,6 +672,7 @@ class Trainer:
             self.visualizer.upload_images(t[None], "textures", 1, max_size=256)
 
         self._host.submit(_host)
+        return np.asarray(self.model.get_opacities(self.params))
 
     def _with_edges(self, rec, R, T, phase):
         """Overlay per-block wireframes on the soft reconstruction (reference
@@ -534,18 +691,18 @@ class Trainer:
 
     def save(self, epoch, batch, checkpoint=False):
         name = f"model_{epoch}.pkl" if checkpoint else "model.pkl"
-        # device-side snapshot (HBM copy, ~free): the live buffers are
-        # donated by the next train step, so the background writer pickles
-        # the copy while training keeps dispatching
-        snap = lambda t: jax.tree_util.tree_map(
-            lambda x: x.copy() if isinstance(x, jax.Array) else x, t
-        )
-        params, opt_state = snap(self.params), snap(self.opt_state)
+        # device-side snapshot packed into ONE byte buffer (one dispatch;
+        # the jit output is a fresh buffer, safe against the next step's
+        # donation). The background writer pulls it in ONE transfer and
+        # unpacks to numpy for pickling — per-leaf copies/pulls cost ~40
+        # tunnel round trips each save (utils/device_pack.py).
+        packed = self._ckpt_pack((self.params, self.opt_state))
         path = self.run_dir / name
         model_name = self.model.name
         model_kwargs = self.cfg.get("model", {})
 
         def _write():
+            params, opt_state = self._ckpt_unpack(np.asarray(packed))
             save_checkpoint(
                 path, params, opt_state, epoch, batch,
                 model_name=model_name, model_kwargs=model_kwargs,

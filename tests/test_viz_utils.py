@@ -68,3 +68,48 @@ class TestHTML:
         out = gallery_from_run_dir(tmp_path)
         assert out.exists()
         assert "x.png" in out.read_text()
+
+
+class TestDevicePack:
+    """utils/device_pack.py: one-buffer checkpoint snapshots must be
+    bitwise round-trippable for every dtype the (params, opt_state) trees
+    contain."""
+
+    def test_roundtrip_bitwise(self):
+        import jax
+        import jax.numpy as jnp
+        from dbw_tpu.utils.device_pack import make_packer
+
+        rng = np.random.default_rng(0)
+        tree = {
+            "w": jnp.asarray(rng.standard_normal((3, 5), np.float32)),
+            "nested": (
+                jnp.asarray(rng.integers(-9, 9, (7,)), jnp.int32),
+                jnp.asarray(np.float32(3.25)),  # scalar leaf
+            ),
+            "flags": jnp.asarray([True, False, True]),
+        }
+        pack, unpack = make_packer(tree)
+        buf = pack(tree)
+        assert buf.dtype == jnp.uint8 and buf.ndim == 1
+        out = unpack(np.asarray(buf))
+        flat_in = jax.tree_util.tree_leaves(tree)
+        flat_out = jax.tree_util.tree_leaves(out)
+        assert len(flat_in) == len(flat_out)
+        for a, b in zip(flat_in, flat_out):
+            a = np.asarray(a)
+            assert a.dtype == b.dtype and a.shape == b.shape
+            assert np.array_equal(a, b)
+
+    def test_fresh_buffer_is_donation_safe(self):
+        import jax.numpy as jnp
+        from dbw_tpu.utils.device_pack import make_packer
+
+        tree = {"x": jnp.arange(4, dtype=jnp.float32)}
+        pack, unpack = make_packer(tree)
+        buf = pack(tree)
+        # the packed buffer must not alias the live leaf: mutating the
+        # "live" state (simulated by a fresh overwrite) cannot change it
+        before = np.asarray(buf).copy()
+        tree["x"] = tree["x"] * 0 - 1
+        assert np.array_equal(np.asarray(buf), before)
