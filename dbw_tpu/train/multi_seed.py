@@ -397,8 +397,12 @@ class MultiSeedTrainer:
                     idx_l.append(idx)
                     n_reals.append(n_real)
                 spc = len(group)
-                self._key, *keys = jax.random.split(self._key, spc * S + 1)
-                keys_s = jnp.stack(keys).reshape(spc, S, 2)
+                # one split + slices (NOT `self._key, *keys = split(...)`:
+                # star-unpacking a device array issues spc*S tiny slice
+                # dispatches per call on the high-latency axon runtime)
+                all_keys = jax.random.split(self._key, spc * S + 1)
+                self._key = all_keys[0]
+                keys_s = all_keys[1:].reshape(spc, S, 2)
                 if spc == 1:
                     self.params, self.opt_state, losses = self._step(
                         self.params, self.opt_state,
