@@ -155,6 +155,7 @@ class Trainer:
         self._predict_syn_fn = None
         self._viz_fn = None
         self._viz_fn_failed = False
+        self._opacity_fn = None
         # checkpoint snapshots: ONE jitted pack dispatch + ONE byte-buffer
         # pull instead of per-leaf copies/transfers (utils/device_pack.py)
         from ..utils.device_pack import make_packer
@@ -388,8 +389,8 @@ class Trainer:
         if do_log:
             self.log_train_metrics(cur_iter - 1, epoch, last_batch)
         if do_val:
-            op = self.log_visualizations(cur_iter - 1)
-            self.run_val_and_log(cur_iter - 1, epoch, last_batch, opacities=op)
+            self.log_visualizations(cur_iter - 1)
+            self.run_val_and_log(cur_iter - 1, epoch, last_batch)
             self.save(epoch=epoch, batch=last_batch)
         return cur_iter
 
@@ -451,8 +452,8 @@ class Trainer:
                 if cur_iter % self.train_stat_interval == 0:
                     self.log_train_metrics(cur_iter, epoch, batch)
                 if cur_iter % self.val_stat_interval == 0:
-                    op = self.log_visualizations(cur_iter)
-                    self.run_val_and_log(cur_iter, epoch, batch, opacities=op)
+                    self.log_visualizations(cur_iter)
+                    self.run_val_and_log(cur_iter, epoch, batch)
                     self.save(epoch=epoch, batch=batch)
                 cur_iter += 1
             if pending:
@@ -481,9 +482,13 @@ class Trainer:
                 LOG_FMT(epoch, self.n_epoches, 1, self.n_batches, f"LR update: lr={lr}")
             )
 
-    def run_val_and_log(self, it, epoch, batch, opacities=None):
-        if opacities is None:
-            opacities = np.asarray(self.model.get_opacities(self.params))
+    def run_val_and_log(self, it, epoch, batch):
+        # tiny dedicated program: the dead-scene check must NOT sync on the
+        # big viz render program dispatched just before (that would stall
+        # train-step dispatch for the full render time every val interval)
+        if self._opacity_fn is None:
+            self._opacity_fn = jax.jit(self.model.get_opacities)
+        opacities = np.asarray(self._opacity_fn(self.params))
         if (opacities > 0.01).sum() == 0:
             raise RuntimeError("No more blocks....")
         self.val_metrics.update(
@@ -534,11 +539,11 @@ class Trainer:
 
     def _get_viz_fn(self):
         """ONE jitted program for all viz streams: soft recon + edge
-        overlay, hard recon, synthetic-color recon, texture grid — plus the
-        opacity vector the val log needs. Collapses ~6 dispatches per val
-        interval into one (each dispatch costs 100s of ms through the axon
-        runtime) and returns uint8 so the background pull ships 4x fewer
-        bytes."""
+        overlay, hard recon, synthetic-color recon, texture grid.
+        Collapses ~6 dispatches per val interval into one (each dispatch
+        costs 100s of ms through the axon runtime) and returns uint8 so the
+        background pull ships 4x fewer bytes. The main thread never syncs
+        on its outputs — only the background worker pulls them."""
         if self._viz_fn is None:
             model = self.model
             from ..utils.colors import fancy_colormap
@@ -556,7 +561,7 @@ class Trainer:
                 # are global step indices folded directly)
                 k1 = jax.random.fold_in(base_key, -(2 * vctr + 1))
                 k2 = jax.random.fold_in(base_key, -(2 * vctr + 2))
-                op = model.get_opacities(params)
+                op = model.get_opacities(params)  # face palette masking
                 to8 = lambda x: (
                     jnp.clip(x, 0.0, 1.0) * 255.0 + 0.5
                 ).astype(jnp.uint8)
@@ -586,7 +591,7 @@ class Trainer:
                     for i in range(nrow)
                 ]
                 txt = jnp.concatenate(rows) if len(rows) > 1 else rows[0]
-                return to8(rec), to8(rec2), to8(rec3), to8(txt), op
+                return to8(rec), to8(rec2), to8(rec3), to8(txt)
 
             self._viz_fn = viz_all
         return self._viz_fn
@@ -594,16 +599,15 @@ class Trainer:
     def log_visualizations(self, cur_iter):
         """Device renders are dispatched here (fresh output buffers, safe
         against later donation); the host-side pulls/encodes/writes run on
-        the background worker so training keeps dispatching. Returns the
-        opacity vector (np) so the caller's val logging reuses the same
-        device dispatch."""
+        the background worker so training keeps dispatching; the main
+        thread never waits for the render."""
         epoch = getattr(self, "cur_epoch", self.epoch_start) - 1
         phase = self.model.phase_for_epoch(epoch, training=False)
         vctr = self._viz_ctr
         self._viz_ctr += 1
         if not self._viz_fn_failed:
             try:
-                rec, rec2, rec3, txt, op = self._get_viz_fn()(
+                rec, rec2, rec3, txt = self._get_viz_fn()(
                     self.params, phase, self._viz_R, self._viz_T,
                     np.int32(vctr), self._base_key,
                 )
@@ -612,7 +616,6 @@ class Trainer:
                 self._viz_fn_failed = True
         if self._viz_fn_failed:
             return self._log_visualizations_fallback(cur_iter, phase, vctr)
-        op_np = np.asarray(op)
         gt = self._viz_gt_u8
 
         def _host():
@@ -631,7 +634,6 @@ class Trainer:
             self.visualizer.upload_images(t[None], "textures", 1, max_size=256)
 
         self._host.submit(_host)
-        return op_np
 
     def _log_visualizations_fallback(self, cur_iter, phase, vctr):
         """Modular multi-dispatch viz (pre-fusion path), kept as a safety
@@ -672,7 +674,6 @@ class Trainer:
             self.visualizer.upload_images(t[None], "textures", 1, max_size=256)
 
         self._host.submit(_host)
-        return np.asarray(self.model.get_opacities(self.params))
 
     def _with_edges(self, rec, R, T, phase):
         """Overlay per-block wireframes on the soft reconstruction (reference
