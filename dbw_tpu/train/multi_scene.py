@@ -211,6 +211,19 @@ class MultiSceneTrainer:
         for ld in self.loaders:
             ld[0].set_epoch(self.epoch_start - 1)
 
+        # async host pipeline (see train/trainer.py): losses stay device
+        # futures until a log/val interval; checkpoint pickling runs on a
+        # background worker over ONE packed byte buffer
+        from ..utils.device_pack import make_packer
+        from .trainer import _HostWorker
+
+        self._host = _HostWorker()
+        self._loss_buffer = []
+        self._opacity_fn = None
+        self._ckpt_pack, self._ckpt_unpack = make_packer(
+            (self.params, self.opt_state)
+        )
+
         append = self.epoch_start > 1 or self.batch_start > 1
         self.train_metrics = [
             Metrics(
@@ -306,18 +319,27 @@ class MultiSceneTrainer:
     # ------------------------------------------------------------------
 
     def save(self, epoch, batch):
-        to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
-        state = {
+        """Snapshot in ONE packed dispatch; the pickle write (and the
+        single byte-buffer pull) runs on the background worker."""
+        packed = self._ckpt_pack((self.params, self.opt_state))
+        meta = {
             "epoch": epoch, "batch": batch,
             "scene_seeds": self.scene_seeds, "n_valid": self.n_valid,
-            "params": to_np(self.params), "opt_state": to_np(self.opt_state),
             "key": np.asarray(self._key), "dead": self.dead.copy(),
             "loss_sums": self.loss_sums.copy(), "n_seen": self.n_seen,
         }
-        tmp = self.run_dirs[0] / (MULTI_SCENE_CKPT + ".tmp")
-        with open(tmp, "wb") as f:
-            pickle.dump(state, f)
-        tmp.replace(self.run_dirs[0] / MULTI_SCENE_CKPT)
+
+        def _write():
+            params, opt_state = self._ckpt_unpack(np.asarray(packed))
+            to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
+            state = dict(meta, params=to_np(params),
+                         opt_state=to_np(opt_state))
+            tmp = self.run_dirs[0] / (MULTI_SCENE_CKPT + ".tmp")
+            with open(tmp, "wb") as f:
+                pickle.dump(state, f)
+            tmp.replace(self.run_dirs[0] / MULTI_SCENE_CKPT)
+
+        self._host.submit(_write)
 
     def _restore(self, ckpt):
         if [list(s) for s in ckpt["scene_seeds"]] != [
@@ -346,9 +368,11 @@ class MultiSceneTrainer:
     # ------------------------------------------------------------------
 
     def _val_and_log(self, it, epoch, batch):
-        alphas = np.asarray(
-            jax.vmap(jax.vmap(self.model.get_opacities))(self.params)
-        )  # (n_scene, S, N)
+        if self._opacity_fn is None:
+            self._opacity_fn = jax.jit(
+                jax.vmap(jax.vmap(self.model.get_opacities))
+            )
+        alphas = np.asarray(self._opacity_fn(self.params))  # (n_scene, S, N)
         alive = (alphas > 0.01).sum(axis=2) > 0
         for i in range(self.n_scene):
             for j in range(self.n_valid):
@@ -373,6 +397,15 @@ class MultiSceneTrainer:
     # ------------------------------------------------------------------
 
     def run(self):
+        try:
+            return self._run()
+        except BaseException:
+            # async checkpoint saves must land before the exception
+            # propagates — a killed sweep resumes from that file
+            self._host.join()
+            raise
+
+    def _run(self):
         t0 = time.time()
         for epoch in range(self.epoch_start, self.n_epoches + 1):
             phase = self.model.phase_for_epoch(epoch - 1, training=True)
@@ -381,6 +414,9 @@ class MultiSceneTrainer:
                 for k, v in self.scheduler.lrs(epoch - 1).items()
             }
             if epoch != self.epoch_start or self.batch_start == 1:
+                # buffered loss futures belong to the PREVIOUS epoch's
+                # accounting — drain before resetting the sums
+                self._drain_losses()
                 self.loss_sums[:] = 0.0
                 self.n_seen = 0
             batch_start = (
@@ -399,33 +435,26 @@ class MultiSceneTrainer:
                     n_reals.append(padded[0][1])
                 spc = len(group)
                 n_keys = spc * self.n_scene * self.S
-                self._key, *keys = jax.random.split(self._key, n_keys + 1)
-                keys_s = jnp.stack(keys).reshape(
-                    spc, self.n_scene, self.S, 2
-                )
+                # one split + slices (star-unpacking a device array would
+                # issue n_keys tiny slice dispatches per call)
+                all_keys = jax.random.split(self._key, n_keys + 1)
+                self._key = all_keys[0]
+                keys_s = all_keys[1:].reshape(spc, self.n_scene, self.S, 2)
                 if spc == 1:
                     self.params, self.opt_state, losses = self._step(
                         self.K, self.params, self.opt_state,
                         self._dev_imgs, self._dev_R, self._dev_T,
                         jnp.asarray(idx_l[0]), phase, lrs, keys_s[0],
                     )
-                    losses = np.asarray(losses)[None]
                 else:
                     self.params, self.opt_state, losses = self._multi_step(
                         self.K, self.params, self.opt_state,
                         self._dev_imgs, self._dev_R, self._dev_T,
                         jnp.asarray(np.stack(idx_l)), phase, lrs, keys_s,
                     )
-                    losses = np.asarray(losses)  # (spc, n_scene, S)
-                for g, n_real in enumerate(n_reals):
-                    self.loss_sums += losses[g] * n_real
-                    self.n_seen += n_real
-                    for i in range(self.n_scene):
-                        self.train_metrics[i].update({
-                            f"loss_s{s}": float(losses[g, i, j])
-                            for j, s in enumerate(
-                                self.scene_seeds[i][: self.n_valid])
-                        }, N=n_real)
+                # no sync: the (spc, n_scene, S) losses stay device futures
+                # until the next log/val interval (_drain_losses)
+                self._loss_buffer.append((losses, n_reals))
 
             SPC = max(self.steps_per_call, 1)
             pending = []
@@ -449,6 +478,7 @@ class MultiSceneTrainer:
                     f" ({time.time() - t0:.1f}s)"
                 )
 
+        self._drain_losses()
         final_losses = self.loss_sums / max(self.n_seen, 1)
         masked = np.where(
             (np.arange(self.S)[None, :] < self.n_valid) & ~self.dead,
@@ -481,6 +511,7 @@ class MultiSceneTrainer:
                 f"losses={final_losses[i, : self.n_valid].round(5).tolist()}"
                 f" -> seed {self.scene_seeds[i][b]}"
             )
+        self._host.join()  # protocol checkpoint on disk before returning
         return self.params, self.best, final_losses[:, : self.n_valid]
 
     def _flush(self, pending, run_group, cur_iter, epoch):
@@ -494,14 +525,37 @@ class MultiSceneTrainer:
                 do_val |= cur_iter % self.val_stat_interval == 0
             cur_iter += 1
         if do_log:
+            self._drain_losses()
             for i in range(self.n_scene):
                 self.train_metrics[i].log_and_reset(
                     it=cur_iter - 1, epoch=epoch, batch=last_batch
                 )
         if do_val:
+            self._drain_losses()  # selection state must be current
             self._val_and_log(cur_iter - 1, epoch, last_batch)
             self.save(epoch, last_batch)
         return cur_iter
+
+    def _drain_losses(self):
+        """Force buffered per-group losses (ONE device concat + ONE
+        transfer per interval) into the per-scene/seed accounting."""
+        if not self._loss_buffer:
+            return
+        buf, self._loss_buffer = self._loss_buffer, []
+        mats = [v if v.ndim == 3 else v[None] for v, _ in buf]
+        rows = np.asarray(
+            jnp.concatenate(mats) if len(mats) > 1 else mats[0]
+        )  # (total_steps, n_scene, S)
+        n_reals = [n for _, ns in buf for n in ns]
+        for g, n_real in enumerate(n_reals):
+            self.loss_sums += rows[g] * n_real
+            self.n_seen += n_real
+            for i in range(self.n_scene):
+                self.train_metrics[i].update({
+                    f"loss_s{s}": float(rows[g, i, j])
+                    for j, s in enumerate(
+                        self.scene_seeds[i][: self.n_valid])
+                }, N=n_real)
 
     # ------------------------------------------------------------------
     # evaluation: the reference's full per-scan surface, per scene
