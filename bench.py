@@ -50,10 +50,20 @@ def main():
     parser.add_argument("--no-perceptual", action="store_true")
     parser.add_argument("--blocks", type=int, default=10,
                         help="number of superquadric blocks (reference max 50)")
+    parser.add_argument("--img-size", type=int, nargs=2, default=(300, 400),
+                        metavar=("H", "W"),
+                        help="render size (default: the baseline 300x400; "
+                        "smaller sizes are for CPU smokes, not benching)")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (sitecustomize pins the "
+                        "axon TPU platform, so JAX_PLATFORMS=cpu is ignored)")
     args = parser.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     sys.path.insert(0, ".")
     import __graft_entry__ as graft
@@ -63,7 +73,8 @@ def main():
     if backend is None:
         backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
 
-    model = graft._make_model(n_blocks=args.blocks,
+    model = graft._make_model(img_size=tuple(args.img_size),
+                              n_blocks=args.blocks,
                               with_perceptual=not args.no_perceptual)
     for r in (model.renderer, model.renderer_env, model.renderer_viz,
               model.renderer_light):
@@ -81,7 +92,7 @@ def main():
     phase = model.phase_for_epoch(0, training=True)
     lrs = {"main": jnp.float32(5e-3), "texture": jnp.float32(5e-2)}
 
-    B, H, W = 4, 300, 400
+    B, (H, W) = 4, args.img_size
     R, T = graft._cams(B)
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.random((B, H, W, 3), np.float32))
@@ -91,13 +102,16 @@ def main():
     SPC = max(args.steps_per_call, 1)
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def multi_step(params, opt_state, keys):
+    def multi_step(params, opt_state, ctrs):
         """lax.scan of SPC optimizer steps in ONE device program — the
         trainer-shaped inner loop (same batch each step here; throughput
-        is batch-content independent)."""
+        is batch-content independent). Per-step RNG keys are folded from
+        step counters INSIDE the program (like train/trainer.py) so the
+        timed region contains zero host-side key dispatches."""
 
-        def body(carry, key):
+        def body(carry, ctr):
             p, o = carry
+            key = jax.random.fold_in(base_key, ctr)
 
             def loss_fn(pp):
                 losses = model.forward(pp, phase, imgs, R, T, key)
@@ -108,22 +122,22 @@ def main():
             p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
             return (p, o), losses["total"]
 
-        (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), keys)
+        (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), ctrs)
         return params, opt_state, losses[-1]
 
-    key = jax.random.PRNGKey(0)
+    base_key = jax.random.PRNGKey(0)
+    step_ctr = [0]
 
-    def run_call(params, opt_state, key):
-        key, sub = jax.random.split(key)
-        keys = jax.random.split(sub, SPC)
-        params, opt_state, loss = multi_step(params, opt_state, keys)
-        return params, opt_state, loss, key
+    def run_call(params, opt_state):
+        ctrs = np.arange(step_ctr[0], step_ctr[0] + SPC, dtype=np.int32)
+        step_ctr[0] += SPC
+        return multi_step(params, opt_state, ctrs)
 
-    def timed_call(params, opt_state, key):
+    def timed_call(params, opt_state):
         t0 = time.perf_counter()
-        params, opt_state, loss, key = run_call(params, opt_state, key)
+        params, opt_state, loss = run_call(params, opt_state)
         jax.block_until_ready(loss)
-        return time.perf_counter() - t0, params, opt_state, loss, key
+        return time.perf_counter() - t0, params, opt_state, loss
 
     # --- Cold-run-proof warmup ------------------------------------------
     # The first call pays tracing + compilation (minutes through the axon
@@ -137,7 +151,7 @@ def main():
     warmup_t0 = time.perf_counter()
     warmup_stable = False
     while len(warmup_times) < args.max_warmup_calls:
-        dt, params, opt_state, loss, key = timed_call(params, opt_state, key)
+        dt, params, opt_state, loss = timed_call(params, opt_state)
         warmup_times.append(dt)
         if len(warmup_times) >= 2:
             a, b = warmup_times[-2], warmup_times[-1]
@@ -154,7 +168,7 @@ def main():
     n_calls = max(args.steps // SPC, 4)
     call_times = []
     for _ in range(n_calls):
-        dt, params, opt_state, loss, key = timed_call(params, opt_state, key)
+        dt, params, opt_state, loss = timed_call(params, opt_state)
         call_times.append(dt)
 
     median_call = float(np.median(call_times))
@@ -165,16 +179,16 @@ def main():
         json.dumps(
             {
                 "metric": (
-                    "optim steps/sec (DTU-shaped: 4x300x400, "
+                    f"optim steps/sec (DTU-shaped: {B}x{H}x{W}, "
                     f"{args.blocks} blocks, K=10, fwd+bwd+adam)"
                 ),
                 "value": round(steps_per_sec, 4),
                 "unit": "steps/s",
-                # the derived reference figure is for the 10-block workload;
-                # other block counts have no published baseline to compare to
+                # the derived reference figure is for the 10-block 300x400
+                # workload; other shapes have no published baseline
                 "vs_baseline": (
                     round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 4)
-                    if args.blocks == 10 else None
+                    if args.blocks == 10 and (H, W) == (300, 400) else None
                 ),
                 "extra": {
                     "backend": backend,

@@ -389,8 +389,11 @@ class Trainer:
         if do_log:
             self.log_train_metrics(cur_iter - 1, epoch, last_batch)
         if do_val:
-            self.log_visualizations(cur_iter - 1)
+            # reference order (trainer.py:122-125): val check BEFORE the viz
+            # dispatch — also keeps the opacity sync from waiting behind the
+            # multi-second fused viz render in the FIFO device queue
             self.run_val_and_log(cur_iter - 1, epoch, last_batch)
+            self.log_visualizations(cur_iter - 1)
             self.save(epoch=epoch, batch=last_batch)
         return cur_iter
 
@@ -452,8 +455,9 @@ class Trainer:
                 if cur_iter % self.train_stat_interval == 0:
                     self.log_train_metrics(cur_iter, epoch, batch)
                 if cur_iter % self.val_stat_interval == 0:
-                    self.log_visualizations(cur_iter)
+                    # reference order: val check before the viz dispatch
                     self.run_val_and_log(cur_iter, epoch, batch)
+                    self.log_visualizations(cur_iter)
                     self.save(epoch=epoch, batch=batch)
                 cur_iter += 1
             if pending:
@@ -762,7 +766,13 @@ def main():
     parser.add_argument("-t", "--tag", type=str, required=True)
     parser.add_argument("-c", "--config", type=str, required=True)
     parser.add_argument("-d", "--default", type=str, default=None)
+    parser.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (this host's sitecustomize pins the "
+        "axon TPU platform, so JAX_PLATFORMS=cpu alone is ignored)")
     args = parser.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     default_path = (
         None if not args.default else CONFIGS_PATH / args.default
     )

@@ -14,6 +14,10 @@ from .misc import path_mkdir
 from .logger import print_warning
 
 MAX_GIF_SIZE = 256
+# PIL palette-quantizes every frame on one host core (~0.5s/frame at DTU
+# res); the mp4 path streams to ffmpeg and doesn't need this. The fallback
+# strides to this many frames and scales duration so playback time matches.
+MAX_GIF_FRAMES = 60
 
 
 def convert_to_img(arr):
@@ -77,10 +81,11 @@ def save_video(src, name="out.mp4", in_ext="jpg", fps=24):
                 w.append_data(fr)
     except Exception as e:  # no ffmpeg codec -> gif fallback
         print_warning(f"save_video: mp4 encode failed ({e}); writing GIF")
-        pil = [Image.fromarray(f) for f in frames]
+        stride = max(1, -(-len(frames) // MAX_GIF_FRAMES))
+        pil = [Image.fromarray(f) for f in frames[::stride]]
         pil[0].save(
             out_path.with_suffix(".gif"), save_all=True, append_images=pil[1:],
-            duration=int(1000 / fps), loop=0,
+            duration=int(1000 * stride / fps), loop=0,
         )
 
 

@@ -3,7 +3,9 @@
 import numpy as np
 
 from dbw_tpu.utils.html import gallery_from_run_dir, write_gallery
-from dbw_tpu.utils.image import ImageLogger, convert_to_img, save_gif
+from dbw_tpu.utils.image import (
+    MAX_GIF_FRAMES, ImageLogger, convert_to_img, save_gif, save_video,
+)
 from dbw_tpu.utils.visualizer import Visualizer
 
 
@@ -34,6 +36,26 @@ class TestImage:
             convert_to_img(np.full((8, 8, 3), i / 3)).save(d / f"{i}.jpg")
         save_gif(d, "out.gif")
         assert (tmp_path / "out.gif").exists()
+
+    def test_save_video_gif_fallback_caps_frames(self, tmp_path):
+        # no ffmpeg in this env -> GIF fallback; a long trajectory must be
+        # strided to <= MAX_GIF_FRAMES with playback time preserved
+        from PIL import Image
+
+        n, fps = 4 * MAX_GIF_FRAMES, 24
+        frames = np.stack([np.full((8, 8, 3), i / n) for i in range(n)])
+        save_video(frames, name=str(tmp_path / "traj.mp4"), fps=fps)
+        if (tmp_path / "traj.mp4").exists():  # ffmpeg present: no fallback
+            import pytest
+
+            pytest.skip("mp4 encoder available; GIF fallback not exercised")
+        out = tmp_path / "traj.gif"
+        assert out.exists()
+        with Image.open(out) as im:
+            assert im.n_frames <= MAX_GIF_FRAMES
+            # duration scaled by the stride: real-time playback (GIF
+            # stores durations in 10ms ticks -> compare coarsely)
+            assert abs(im.info["duration"] - 1000 * 4 / fps) <= 10
 
 
 class TestVisualizer:
