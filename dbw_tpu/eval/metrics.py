@@ -44,7 +44,7 @@ class Metrics:
 
     log_data = True
 
-    def __init__(self, *names, log_file=None, append=False):
+    def __init__(self, *names, log_file=None, append=False, truncate_iter=None):
         self.names = list(names)
         self.meters = defaultdict(AverageMeter)
         if log_file is not None and self.log_data:
@@ -52,8 +52,26 @@ class Metrics:
             if not self.log_file.exists() or not append:
                 with open(self.log_file, "w") as f:
                     f.write("iteration\tepoch\tbatch\t" + "\t".join(self.names) + "\n")
+            elif truncate_iter is not None:
+                # resume: the interrupted run logged rows past its last
+                # checkpoint; the replay will log them again — drop the
+                # orphans so curves/dataframes see each iteration once
+                self._truncate(truncate_iter)
         else:
             self.log_file = None
+
+    def _truncate(self, max_iter):
+        lines = self.log_file.read_text().splitlines(keepends=True)
+        keep = lines[:1]
+        for ln in lines[1:]:
+            try:
+                if int(ln.split("\t", 1)[0]) > max_iter:
+                    continue
+            except ValueError:
+                pass
+            keep.append(ln)
+        if len(keep) != len(lines):
+            self.log_file.write_text("".join(keep))
 
     def __getitem__(self, name):
         return self.meters[name]

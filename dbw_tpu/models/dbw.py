@@ -335,8 +335,16 @@ class BlocksWorld:
         cam_cfg = dict(rc.pop("cameras", None) or {})
         cam_name = cam_cfg.pop("name", "fov" if had_cam_cfg else "perspective")
         if cam_name == "perspective":
-            cam_cfg.pop("K", None)  # explicit K override (reference kwarg)
-            K = K_ndc if isinstance(K_ndc, jnp.ndarray) else np.asarray(K_ndc)
+            # explicit K in the config overrides the dataset intrinsics
+            # (reference renderer.py:62-67 passes config kwargs straight to
+            # PerspectiveCameras) — discarding it would silently render
+            # with different intrinsics than the reference run
+            K_cfg = cam_cfg.pop("K", None)
+            if K_cfg is not None:
+                K = np.asarray(K_cfg, np.float32)
+            else:
+                K = (K_ndc if isinstance(K_ndc, jnp.ndarray)
+                     else np.asarray(K_ndc))
             self.camera = Camera(
                 jnp.float32(K[0, 0]), jnp.float32(K[1, 1]),
                 jnp.float32(K[0, 2]), jnp.float32(K[1, 2]),

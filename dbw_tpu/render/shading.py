@@ -1,11 +1,13 @@
-"""Fragment shading: texture sampling + optional flat lighting.
+"""Fragment shading primitives: texture sampling + the light model.
 
 The training path uses 'raw' shading (textures straight through, scaled by
-ambient color when != 1 — reference: src/model/renderer.py:225-228); the
-synthetic-color visualization path uses 'flat' shading with one directional
-light anchored to the camera (reference: src/model/dbw.py:139-143,
-renderer.py:87-89). Specular is always zero in the shipped configs so only
-ambient + diffuse are implemented.
+ambient color when != 1 — reference: src/model/renderer.py:225-228). The
+lit shading types (flat/phong/gouraud, reference renderer.py:195-204) live
+in Renderer._shade_lit_flat (renderer.py) on the flat (N,)-component
+fragment layout — the (H, W, K, ...) layout tile-pads up to 64x on TPU and
+OOMs at viz scale — sharing this module's ``_light`` / ``vertex_normals``.
+Specular is always zero in the shipped configs so only ambient + diffuse
+are implemented.
 """
 
 from __future__ import annotations
@@ -13,7 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .interpolate import Fragments, interpolate_face_attrs
-from .meshes import MeshScene, face_normals, sample_atlas_bilinear
+from .meshes import MeshScene, sample_atlas_bilinear
 
 
 def sample_texture_colors(fragments: Fragments, scene: MeshScene):
@@ -32,78 +34,6 @@ def shade_raw(fragments: Fragments, scene: MeshScene, ambient_color=None):
     if ambient_color is not None:
         colors = colors * jnp.asarray(ambient_color)
     return colors
-
-
-def shade_flat(
-    fragments: Fragments,
-    scene: MeshScene,
-    R,
-    light_direction_cam,
-    ambient_color,
-    diffuse_color,
-    light_type="directional",
-    light_location=(0.0, 0.0, 0.0),
-):
-    """Flat shading: per-face world normal, one light evaluated at the face
-    (directional lights are fixed in the camera frame — the reference
-    rotates them into world per view, renderer.py:87-89)."""
-    texels = sample_texture_colors(fragments, scene)
-    n = face_normals(scene.verts, scene.faces)  # (F, 3) world
-    centroids = scene.verts[scene.faces].mean(axis=1)  # (F, 3) world
-    idx = jnp.maximum(fragments.pix_to_face, 0)
-    light = _light(n[idx], centroids[idx], R, light_type,
-                   light_direction_cam, light_location, ambient_color,
-                   diffuse_color)
-    return texels * light
-
-
-def shade_phong(
-    fragments: Fragments,
-    scene: MeshScene,
-    R,
-    light_direction_cam,
-    ambient_color,
-    diffuse_color,
-    light_type="directional",
-    light_location=(0.0, 0.0, 0.0),
-):
-    """Per-pixel (Phong) shading with barycentric-interpolated vertex
-    normals — the reference's optional 'phong' shading type used by the
-    eye-light viz paths (renderer.py:195-196, 304-310). Specular is zero in
-    all shipped configs so only ambient + diffuse are computed."""
-    texels = sample_texture_colors(fragments, scene)
-    vn = vertex_normals(scene.verts, scene.faces)  # (V, 3)
-    n = interpolate_face_attrs(fragments, vn[scene.faces])  # (H, W, K, 3)
-    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True).clip(1e-12)
-    pts = interpolate_face_attrs(fragments, scene.verts[scene.faces])
-    light = _light(n, pts, R, light_type, light_direction_cam,
-                   light_location, ambient_color, diffuse_color)
-    return texels * light
-
-
-def shade_gouraud(
-    fragments: Fragments,
-    scene: MeshScene,
-    R,
-    light_direction_cam,
-    ambient_color,
-    diffuse_color,
-    light_type="directional",
-    light_location=(0.0, 0.0, 0.0),
-):
-    """Gouraud shading: lighting evaluated at the VERTICES (vertex normals
-    + vertex positions), then barycentric-interpolated over the fragment —
-    the reference's 'gouraud' shading type (renderer.py:199-200; pytorch3d
-    gouraud_shading interpolates vertex-evaluated colors). The reference's
-    pytorch3d path requires vertex textures; this TPU-native variant applies
-    the vertex-interpolated light to the UV texels, mirroring how its
-    flat/phong branches modulate texels."""
-    texels = sample_texture_colors(fragments, scene)
-    vn = vertex_normals(scene.verts, scene.faces)  # (V, 3)
-    light_v = _light(vn, scene.verts, R, light_type, light_direction_cam,
-                     light_location, ambient_color, diffuse_color)  # (V, 3)
-    light = interpolate_face_attrs(fragments, light_v[scene.faces])
-    return texels * light
 
 
 def _light(normals, points, R, light_type, light_direction_cam,

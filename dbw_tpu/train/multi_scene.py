@@ -181,6 +181,18 @@ class MultiSceneTrainer:
                 f"[multi-scene] single-device vmap program: "
                 f"{self.n_scene} scenes x {n_seeds} seeds"
             )
+            if n_dev > 1:
+                from ..utils.logger import print_warning
+
+                # not an error (tiny CPU sweeps are fine) but at DTU scale
+                # stacking every scene onto one chip OOMs or crawls
+                print_warning(
+                    f"[multi-scene] {self.n_scene} scenes do not divide the "
+                    f"{n_dev} available devices — falling back to a SINGLE-"
+                    "device vmap program holding all scenes' state. For "
+                    "real workloads pick a scene count that divides the "
+                    "device count (or run groups of scenes separately)."
+                )
 
         params_lists = [
             [self.model.init_params(seed=s) for s in seeds]
@@ -198,7 +210,9 @@ class MultiSceneTrainer:
         self.dead = np.zeros((self.n_scene, self.S), bool)
         self.epoch_start, self.batch_start = 1, 1
         self.loss_sums = np.zeros((self.n_scene, self.S))
-        self.n_seen = 0
+        # per-scene real-view counts: scenes may have different view totals
+        # (only ceil(n/bs) must match), so ragged tails differ per scene
+        self.n_seen = np.zeros(self.n_scene, np.int64)
 
         if ckpt is not None:
             self._restore(ckpt)
@@ -225,11 +239,14 @@ class MultiSceneTrainer:
         )
 
         append = self.epoch_start > 1 or self.batch_start > 1
+        resume_iter = (
+            (self.epoch_start - 1) * self.n_batches + self.batch_start - 1
+        )
         self.train_metrics = [
             Metrics(
                 *[f"loss_s{s}" for s in self.scene_seeds[i][: self.n_valid]],
                 log_file=self.run_dirs[i] / "train_metrics.tsv",
-                append=append,
+                append=append, truncate_iter=resume_iter,
             )
             for i in range(self.n_scene)
         ]
@@ -242,7 +259,7 @@ class MultiSceneTrainer:
                      else path_mkdir(self.run_dirs[i] / f"seed{s}"))
                 per_seed.append(
                     Metrics(*alpha_names, log_file=d / "val_metrics.tsv",
-                            append=append)
+                            append=append, truncate_iter=resume_iter)
                 )
             self.val_metrics.append(per_seed)
 
@@ -326,7 +343,7 @@ class MultiSceneTrainer:
             "epoch": epoch, "batch": batch,
             "scene_seeds": self.scene_seeds, "n_valid": self.n_valid,
             "key": np.asarray(self._key), "dead": self.dead.copy(),
-            "loss_sums": self.loss_sums.copy(), "n_seen": self.n_seen,
+            "loss_sums": self.loss_sums.copy(), "n_seen": self.n_seen.copy(),
         }
 
         def _write():
@@ -339,7 +356,7 @@ class MultiSceneTrainer:
                 pickle.dump(state, f)
             tmp.replace(self.run_dirs[0] / MULTI_SCENE_CKPT)
 
-        self._host.submit(_write)
+        self._host.submit(_write, fatal=True)
 
     def _restore(self, ckpt):
         if [list(s) for s in ckpt["scene_seeds"]] != [
@@ -355,7 +372,10 @@ class MultiSceneTrainer:
         self._key = jnp.asarray(ckpt["key"])
         self.dead = np.asarray(ckpt["dead"], bool).copy()
         self.loss_sums = np.asarray(ckpt["loss_sums"]).copy()
-        self.n_seen = int(ckpt["n_seen"])
+        self.n_seen = (
+            np.broadcast_to(np.asarray(ckpt["n_seen"], np.int64),
+                            (self.n_scene,)).copy()
+        )
         if ckpt["batch"] >= self.n_batches:
             self.epoch_start, self.batch_start = ckpt["epoch"] + 1, 1
         else:
@@ -402,7 +422,7 @@ class MultiSceneTrainer:
         except BaseException:
             # async checkpoint saves must land before the exception
             # propagates — a killed sweep resumes from that file
-            self._host.join()
+            self._host.join(raise_fatal=False)
             raise
 
     def _run(self):
@@ -418,7 +438,7 @@ class MultiSceneTrainer:
                 # accounting — drain before resetting the sums
                 self._drain_losses()
                 self.loss_sums[:] = 0.0
-                self.n_seen = 0
+                self.n_seen[:] = 0
             batch_start = (
                 self.batch_start if epoch == self.epoch_start else 1
             )
@@ -432,7 +452,9 @@ class MultiSceneTrainer:
                         _pad_ids(ids, self.batch_size) for ids in ids_sc
                     ]
                     idx_l.append(np.stack([p[0] for p in padded]))
-                    n_reals.append(padded[0][1])
+                    n_reals.append(
+                        np.array([p[1] for p in padded], np.int64)
+                    )
                 spc = len(group)
                 n_keys = spc * self.n_scene * self.S
                 # one split + slices (star-unpacking a device array would
@@ -471,7 +493,9 @@ class MultiSceneTrainer:
             if pending:
                 cur_iter = self._flush(pending, run_group, cur_iter, epoch)
             if epoch % max(self.n_epoches // 10, 1) == 0 or epoch == 1:
-                means = self.loss_sums / max(self.n_seen, 1)
+                means = (
+                    self.loss_sums / np.maximum(self.n_seen, 1)[:, None]
+                )
                 print_log(
                     f"[multi-scene] epoch {epoch}/{self.n_epoches} "
                     f"losses={np.round(means[:, : self.n_valid], 5).tolist()}"
@@ -479,7 +503,9 @@ class MultiSceneTrainer:
                 )
 
         self._drain_losses()
-        final_losses = self.loss_sums / max(self.n_seen, 1)
+        final_losses = (
+            self.loss_sums / np.maximum(self.n_seen, 1)[:, None]
+        )
         masked = np.where(
             (np.arange(self.S)[None, :] < self.n_valid) & ~self.dead,
             final_losses, np.inf,
@@ -547,15 +573,15 @@ class MultiSceneTrainer:
             jnp.concatenate(mats) if len(mats) > 1 else mats[0]
         )  # (total_steps, n_scene, S)
         n_reals = [n for _, ns in buf for n in ns]
-        for g, n_real in enumerate(n_reals):
-            self.loss_sums += rows[g] * n_real
+        for g, n_real in enumerate(n_reals):  # n_real: (n_scene,)
+            self.loss_sums += rows[g] * n_real[:, None]
             self.n_seen += n_real
             for i in range(self.n_scene):
                 self.train_metrics[i].update({
                     f"loss_s{s}": float(rows[g, i, j])
                     for j, s in enumerate(
                         self.scene_seeds[i][: self.n_valid])
-                }, N=n_real)
+                }, N=int(n_real[i]))
 
     # ------------------------------------------------------------------
     # evaluation: the reference's full per-scan surface, per scene

@@ -138,15 +138,20 @@ class MultiSeedTrainer:
         self.train_loader.set_epoch(self.epoch_start - 1)
 
         append = self.epoch_start > 1 or self.batch_start > 1
+        resume_iter = (
+            (self.epoch_start - 1) * self.n_batches + self.batch_start - 1
+        )
         self.train_metrics = Metrics(
             *[f"loss_s{s}" for s in self.orig_seeds],
             log_file=self.run_dir / "train_metrics.tsv", append=append,
+            truncate_iter=resume_iter,
         )
         alpha_names = [f"alpha{k}" for k in range(self.model.n_blocks)]
         self.val_metrics = [
             Metrics(*alpha_names,
                     log_file=path_mkdir(self.run_dir / f"seed{s}")
-                    / "val_metrics.tsv", append=append)
+                    / "val_metrics.tsv", append=append,
+                    truncate_iter=resume_iter)
             for s in self.orig_seeds
         ]
 
@@ -268,7 +273,7 @@ class MultiSeedTrainer:
                 pickle.dump(state, f)
             tmp.replace(self.run_dir / MULTI_CKPT)
 
-        self._host.submit(_write)
+        self._host.submit(_write, fatal=True)
 
     def _restore(self, ckpt):
         if list(ckpt["seeds"]) != list(self.seeds):
@@ -366,7 +371,7 @@ class MultiSeedTrainer:
         except BaseException:
             # async checkpoint saves must land before the exception
             # propagates — a killed protocol resumes from that file
-            self._host.join()
+            self._host.join(raise_fatal=False)
             raise
 
     def _run(self):
@@ -510,7 +515,15 @@ class MultiSeedTrainer:
 
     def _flush(self, pending, run_group, cur_iter, epoch):
         """Run a buffered batch group and fire interval actions crossed by
-        it (metrics/val/checkpoint — the single-seed trainer's cadence)."""
+        it (metrics/val/checkpoint — the single-seed trainer's cadence).
+
+        A ragged epoch tail (len(pending) < steps_per_call) runs as its own
+        scanned program: ONE extra compile for the tail size, reused every
+        epoch. The alternative (the single-seed trainer replays tails
+        through the 1-step program) pays (tail-1) extra dispatches per
+        epoch — with axon's ~100ms dispatch latency over hundreds of
+        epochs that costs as much as the extra compile, and the scanned
+        tail keeps the buffered loss shapes uniform."""
         run_group(pending)
         last_batch = pending[-1][0]
         do_log = do_val = False

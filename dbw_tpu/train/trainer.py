@@ -56,27 +56,46 @@ class _HostWorker:
         import threading
 
         self._q = queue.Queue()
+        self._fatal = None  # first exception from a fatal=True task
         self._t = threading.Thread(target=self._loop, daemon=True)
         self._t.start()
 
     def _loop(self):
         while True:
-            fn = self._q.get()
-            if fn is None:
+            item = self._q.get()
+            if item is None:
                 self._q.task_done()
                 break
+            fn, fatal = item
             try:
                 fn()
-            except Exception as e:  # pragma: no cover - logged, not fatal
+            except Exception as e:
+                # cosmetic tasks (dashboard/viz encodes) only warn, but a
+                # failed CHECKPOINT write must stop the run at the next
+                # interval — otherwise it trains for hours and leaves no
+                # resumable/evaluable state on disk
+                if fatal and self._fatal is None:
+                    self._fatal = e
                 print_warning(f"host worker task failed: {e}")
             finally:
                 self._q.task_done()
 
-    def submit(self, fn):
-        self._q.put(fn)
+    def submit(self, fn, fatal=False):
+        self._check_fatal()
+        self._q.put((fn, fatal))
 
-    def join(self):
+    def join(self, raise_fatal=True):
         self._q.join()
+        if raise_fatal:  # False on exception paths: don't mask the cause
+            self._check_fatal()
+
+    def _check_fatal(self):
+        if self._fatal is not None:
+            e, self._fatal = self._fatal, None
+            raise RuntimeError(
+                "async checkpoint write failed earlier (see warning above); "
+                "the run has no usable saved state past that point"
+            ) from e
 
 
 class Trainer:
@@ -167,16 +186,23 @@ class Trainer:
         # metric streams: append whenever ANY prior progress exists (a
         # mid-first-epoch resume must not truncate the logged history)
         append = self.epoch_start > 1 or self.batch_start > 1
+        # last iteration the checkpoint actually completed — TSV rows past
+        # it are orphans of the interrupted run (they will be re-logged)
+        resume_iter = (
+            (self.epoch_start - 1) * self.n_batches + self.batch_start - 1
+        )
         self.train_stat_interval = cfg["training"]["train_stat_interval"]
         self.val_stat_interval = cfg["training"]["val_stat_interval"]
         self.save_epoches = cfg["training"].get("save_epoches", [])
         names = ["time/img"] + self.model.loss_names
         self.train_metrics = Metrics(
-            *names, log_file=self.run_dir / "train_metrics.tsv", append=append
+            *names, log_file=self.run_dir / "train_metrics.tsv",
+            append=append, truncate_iter=resume_iter,
         )
         alpha_names = [f"alpha{k}" for k in range(self.model.n_blocks)]
         self.val_metrics = Metrics(
-            *alpha_names, log_file=self.run_dir / "val_metrics.tsv", append=append
+            *alpha_names, log_file=self.run_dir / "val_metrics.tsv",
+            append=append, truncate_iter=resume_iter,
         )
 
         # visual streams (reference trainer.py:61-74)
@@ -429,7 +455,7 @@ class Trainer:
             # checkpoint writes are async (background worker): a run that
             # dies right after save() must still land the file on disk —
             # that checkpoint is exactly what a resume will read
-            self._host.join()
+            self._host.join(raise_fatal=False)
             raise
 
     def _run(self):
@@ -714,7 +740,7 @@ class Trainer:
             )
             print_log(f"Model saved at {path}")
 
-        self._host.submit(_write)
+        self._host.submit(_write, fatal=True)
 
     def save_metric_plots(self):
         try:

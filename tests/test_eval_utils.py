@@ -82,6 +82,22 @@ class TestMeters:
         assert len(df) == 2
         assert df["a"].iloc[1] == pytest.approx(5.0)
 
+    def test_metrics_resume_truncates_orphan_rows(self, tmp_path):
+        f = tmp_path / "m.tsv"
+        m = Metrics("a", log_file=f)
+        for it in [1, 2, 3]:
+            m.update("a", float(it))
+            m.log_and_reset(it=it, epoch=1, batch=it)
+        # resume from a checkpoint taken at it=2: the it=3 row belongs to
+        # the interrupted run and will be re-logged by the replay
+        m2 = Metrics("a", log_file=f, append=True, truncate_iter=2)
+        assert len(m2.read_log()) == 2
+        m2.update("a", 30.0)
+        m2.log_and_reset(it=3, epoch=1, batch=3)
+        df = m2.read_log()
+        assert len(df) == 3
+        assert df["a"].iloc[-1] == pytest.approx(30.0)
+
     def test_proxy_iou(self):
         p = ProxyEvaluator()
         a = np.zeros((1, 4, 4))

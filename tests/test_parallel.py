@@ -517,6 +517,23 @@ def test_multi_scene_trainer_e2e_two_scenes(tmp_path):
     assert s0 != s1
 
 
+def test_multi_scene_unequal_view_counts_accounting(tmp_path):
+    """Scenes may have different view totals as long as the batch COUNT
+    matches; the per-scene loss accounting must weight each scene's ragged
+    tail by its OWN real-view count (not scene 0's)."""
+    from dbw_tpu.train.multi_scene import MultiSceneTrainer
+
+    cfg_a = _scene_cfg("sceneA", 5, n_epoches=1)
+    cfg_a["dataset"]["n_views"] = 3  # bs=2 -> 2 batches, tail n_real=1
+    cfg_b = _scene_cfg("sceneB", 9, n_epoches=1)
+    cfg_b["dataset"]["n_views"] = 4  # bs=2 -> 2 batches, tail n_real=2
+    t = MultiSceneTrainer([cfg_a, cfg_b],
+                          [tmp_path / "sceneA", tmp_path / "sceneB"],
+                          n_seeds=1)
+    t.run()
+    assert list(np.asarray(t.n_seen)) == [3, 4]
+
+
 def test_multi_scene_matches_single_scene_trainer(tmp_path):
     """Each scene of the sharded multi-scene program must optimize exactly
     like... a close cousin of the standalone path: with 1 seed and no data

@@ -207,6 +207,20 @@ class TestShadingTypesAndRegistries:
         assert float(m.camera.px) == 0.0 and float(m.camera.py) == 0.0
         assert np.isfinite(self._render(m)).all()
 
+    def test_perspective_camera_explicit_K_overrides_dataset(self):
+        # reference renderer.py:62-67: config kwargs (incl. K) go straight
+        # to PerspectiveCameras — an explicit K must beat the dataset's
+        K = np.zeros((4, 4), np.float32)
+        K[0, 0], K[1, 1] = 3.0, 4.0
+        K[0, 2], K[1, 2] = 0.1, -0.2
+        m = self._model(dict(faces_per_pixel=2,
+                             cameras=dict(name="perspective", K=K.tolist())))
+        assert float(m.camera.fx) == pytest.approx(3.0)
+        assert float(m.camera.fy) == pytest.approx(4.0)
+        assert float(m.camera.px) == pytest.approx(0.1)
+        assert float(m.camera.py) == pytest.approx(-0.2)
+        assert np.isfinite(self._render(m)).all()
+
     def test_explicit_camera_block_defaults_to_fov(self):
         # reference init_cameras: name defaults to 'fov' (renderer.py:65)
         m = self._model(dict(faces_per_pixel=2, cameras=dict(fov=60.0)))
