@@ -40,7 +40,15 @@ def main():
     p.add_argument("--per-seed-full", action="store_true",
                    help="full quali/DTU eval for every seed (reference's "
                    "exact per-run behavior), not just the best")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (this host's sitecustomize "
+                   "pins the axon TPU platform; JAX_PLATFORMS=cpu alone "
+                   "is ignored)")
     args = p.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     default_path = None if not args.default else CONFIGS_PATH / args.default
     cfg = load_yaml(CONFIGS_PATH / args.config, default_path)

@@ -43,7 +43,15 @@ def main():
                    "multi_scene_model.pkl")
     p.add_argument("--no-quali", action="store_true",
                    help="skip the per-scene qualitative artifacts")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (this host's sitecustomize "
+                   "pins the axon TPU platform; JAX_PLATFORMS=cpu alone "
+                   "is ignored)")
     args = p.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     default_path = None if not args.default else CONFIGS_PATH / args.default
     cfgs, run_dirs = [], []
