@@ -40,6 +40,11 @@ def main():
     p.add_argument("--per-seed-full", action="store_true",
                    help="full quali/DTU eval for every seed (reference's "
                    "exact per-run behavior), not just the best")
+    p.add_argument("--n-traj-videos", type=int, default=None,
+                   help="cap trajectory videos to the first N eval views "
+                   "(default: all views, reference parity; each video is "
+                   "240 rendered frames — the dominant eval cost on hosts "
+                   "without a hardware encoder)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (this host's sitecustomize "
                    "pins the axon TPU platform; JAX_PLATFORMS=cpu alone "
@@ -60,7 +65,9 @@ def main():
 
     trainer = MultiSeedTrainer(cfg, run_dir, seeds, resume=args.resume)
     trainer.run()
-    trainer.evaluate(per_seed_full=args.per_seed_full)
+    qk = (None if args.n_traj_videos is None
+          else dict(n_traj_videos=args.n_traj_videos))
+    trainer.evaluate(per_seed_full=args.per_seed_full, quali_kwargs=qk)
 
 
 if __name__ == "__main__":
