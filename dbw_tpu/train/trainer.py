@@ -194,6 +194,10 @@ class Trainer:
         self.train_stat_interval = cfg["training"]["train_stat_interval"]
         self.val_stat_interval = cfg["training"]["val_stat_interval"]
         self.save_epoches = cfg["training"].get("save_epoches", [])
+        # optional final-eval knobs forwarded to qualitative_eval (e.g.
+        # n_traj_videos caps the per-view trajectory videos — each is 240
+        # rendered frames, the dominant eval cost without a hw encoder)
+        self.eval_kwargs = dict(cfg["training"].get("eval", {}))
         names = ["time/img"] + self.model.loss_names
         self.train_metrics = Metrics(
             *names, log_file=self.run_dir / "train_metrics.tsv",
@@ -780,7 +784,7 @@ class Trainer:
 
         evaluate_run(
             self.model, self.params, self.test_loader, self.dataset,
-            self.run_dir,
+            self.run_dir, quali_kwargs=self.eval_kwargs or None,
         )
         print_log("Evaluation over")
 

@@ -25,6 +25,8 @@ def main():
     p.add_argument("--pass", dest="which", default="blocks",
                    choices=["blocks", "env"])
     p.add_argument("--tiles", default="8x16x128")
+    p.add_argument("--coarsens", default="1",
+                   help="comma list of DBW_SEL_COARSEN values to sweep")
     p.add_argument("--iters", type=int, default=30)
     args = p.parse_args()
 
@@ -63,19 +65,23 @@ def main():
           f"blur={float(blur):.2e}")
 
     env_key = "DBW_SEL_TILE_K1" if rcfg.faces_per_pixel == 1 else "DBW_SEL_TILE"
+    co_key = ("DBW_SEL_COARSEN_K1" if rcfg.faces_per_pixel == 1
+              else "DBW_SEL_COARSEN")
     for tile in args.tiles.split(","):
         os.environ[env_key] = tile
-        f = jax.jit(
-            lambda pk: rp.rasterize_pallas_batched(pk, blur, rcfg)
-        )
-        out = f(packed)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
+        for co in args.coarsens.split(","):
+            os.environ[co_key] = co
+            f = jax.jit(
+                lambda pk: rp.rasterize_pallas_batched(pk, blur, rcfg)
+            )
             out = f(packed)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / args.iters * 1000
-        print(f"  {tile}: {dt:.2f} ms")
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                out = f(packed)
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / args.iters * 1000
+            print(f"  {tile} coarsen={co}: {dt:.2f} ms")
 
 
 if __name__ == "__main__":

@@ -93,6 +93,24 @@ def test_pallas_hard_specialization_matches_general(K):
     np.testing.assert_array_equal(out_hard, out_gen)
 
 
+@pytest.mark.parametrize("G", [2, 3])
+def test_pallas_coarsened_grid_matches(G, monkeypatch):
+    """DBW_SEL_COARSEN=G (G column tiles per program, incl. a non-divisor
+    G that pads the tile grid) must reproduce the default kernel exactly."""
+    monkeypatch.setenv("DBW_SEL_COARSEN", str(G))
+    monkeypatch.setenv("DBW_SEL_COARSEN_K1", str(G))
+    for case in (CASES[1], CASES[3]):
+        verts, faces = random_tri_soup(case["n_faces"])
+        cam = Camera.from_fov(80.0)
+        cfg = RasterConfig(image_size=case["img"],
+                           faces_per_pixel=case["K"], row_chunk=8)
+        geom = project_faces(verts, faces, EYE, ZERO, cam)
+        blur = jnp.float32(case["blur"])
+        ref = np.asarray(rasterize(geom, blur, cfg))
+        out = np.asarray(rp.rasterize_pallas(geom, blur, cfg))
+        assert (out != ref).mean() < 0.001
+
+
 def test_pallas_behind_camera_culled():
     verts = jnp.asarray(
         [[0.0, 1.0, -2.0], [-1.0, -1.0, -2.0], [1.0, -1.0, -2.0]], jnp.float32

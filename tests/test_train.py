@@ -242,6 +242,9 @@ class TestEndToEnd:
                               "milestones": [5]},
                 "train_stat_interval": 2,
                 "val_stat_interval": 4,
+                # final-eval knobs forwarded to qualitative_eval: short
+                # trajectories, no per-view trajectory videos
+                "eval": {"n_traj_videos": 0, "NV": 4},
                 "seed": 123,
             },
         }
@@ -259,6 +262,11 @@ class TestEndToEnd:
         assert (tmp_path / "quali_eval" / "mesh.obj").exists()
         assert (tmp_path / "quali_eval" / "textures" / "bkg.png").exists()
         assert (tmp_path / "val_metrics.tsv").exists()
+        # training.eval knobs reached qualitative_eval: the rotated-mesh
+        # video exists but per-view trajectory videos were capped at 0
+        quali = tmp_path / "quali_eval"
+        assert any(quali.glob("rotated_mesh.*"))
+        assert not any(quali.glob("*_rec_traj.*"))
 
         # resume path: restart from the checkpoint
         cfg2 = {**cfg, "training": {**cfg["training"], "resume": str(tmp_path / "model.pkl"),
