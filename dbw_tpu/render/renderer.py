@@ -284,16 +284,38 @@ class Renderer:
                 dyn, ((0, F_pad - F_tab), (0, 0))
             ).T
             dynT = jnp.pad(dynT, ((0, DR - dynT.shape[0]), (0, 0)))
-            vld = (p2f_flat >= 0).astype(jnp.float32)
             flags = (rcfg.perspective_correct, rcfg.clip_barycentric,
                      cfg.clip_inside, THt, TWt)
-            id00, wx, wy, alpha = fused_fragment_shade(
-                dynT, dyn_idx, vld, px, py, jnp.asarray(sigma, jnp.float32),
-                flags,
-            )
             maps_flat = scene.atlas.maps.reshape(M * THt * TWt, 3)
-            colors = _sample_quad(maps_flat, id00, wx, wy, TWt)
-            return self._blend_tail(colors, alpha, B, Hs, Ws, K)
+            sigma_f = jnp.asarray(sigma, jnp.float32)
+
+            def dense_img():
+                vld = (p2f_flat >= 0).astype(jnp.float32)
+                id00, wx, wy, alpha = fused_fragment_shade(
+                    dynT, dyn_idx, vld, px, py, sigma_f, flags,
+                )
+                colors = _sample_quad(maps_flat, id00, wx, wy, TWt)
+                if cfg.ambient_color is not None:
+                    colors = colors * jnp.asarray(cfg.ambient_color)
+                return layered_blend(
+                    colors.reshape(B, Hs, Ws, K, 3),
+                    alpha.reshape(B, Hs, Ws, K), cfg.background_color,
+                )
+
+            from .compact_shade import (
+                compact_fragment_shade, compact_shade_enabled,
+            )
+
+            if compact_shade_enabled(K):
+                # sparsity-compacted pipeline: per-fragment kernels + blend
+                # run only over the valid slots (render/compact_shade.py)
+                img = compact_fragment_shade(
+                    dynT, p2f_b, sigma_f, flags, maps_flat, TWt,
+                    cfg.ambient_color, cfg.background_color, F, dense_img,
+                )
+            else:
+                img = dense_img()
+            return self._pool_tail(img)
 
         full = gather_rows_partial(dyn, dyn_idx, 12)     # (B*N, 20)
         tab, stab = full[:, :12], full[:, 12:]
@@ -384,6 +406,11 @@ class Renderer:
             colors.reshape(B, Hs, Ws, K, 3), alpha.reshape(B, Hs, Ws, K),
             cfg.background_color,
         )
+        return self._pool_tail(img)
+
+    def _pool_tail(self, img):
+        """Optional supersample pooling of a blended (B, Hs, Ws, 4) image."""
+        cfg = self.config
         if cfg.supersample > 1:
             img = jax.vmap(lambda im: _avg_pool_2d(im, cfg.supersample))(img)
         return img
