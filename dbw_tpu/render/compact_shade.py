@@ -205,6 +205,17 @@ def compact_fragment_shade(dynT, p2f_b, sigma, flags, maps_flat, TWt,
     """Compacted replacement for gather+shade+blend of the flat-fused
     training path. dense_fn() is the unmodified dense pipeline, used as the
     last-resort ladder branch (identical outputs, never dropped work)."""
+    try:
+        from jax._src.interpreters.batching import BatchTracer
+    except ImportError:  # pragma: no cover - jax internals moved
+        BatchTracer = ()
+
+    if isinstance(p2f_b, BatchTracer):
+        # under vmap (e.g. the per-device seed axis of the multi-seed
+        # trainer) lax.switch degenerates to a select that executes EVERY
+        # branch — compaction would then ADD work instead of saving it
+        return dense_fn()
+
     B, Hs, Ws, K = p2f_b.shape
     dims = (B, Hs, Ws, K)
     NB = B * Hs * Ws * K

@@ -220,6 +220,40 @@ class TestEndToEnd:
             np.asarray(img_c), np.asarray(img_d), atol=2e-5
         )
 
+    def test_vmap_falls_back_to_dense(self, monkeypatch):
+        """Under vmap (the per-device seed axis) lax.switch executes every
+        branch, so the compacted path must not even be traced."""
+        def boom(*a, **k):
+            raise AssertionError("compacted branch traced under vmap")
+
+        monkeypatch.setattr(csh, "_shade_compacted", boom)
+        dynT = jnp.zeros((2, ff.DR, ff.WIN), jnp.float32)
+        p2f = -jnp.ones((2, 1, 4, 8, 2), jnp.int32)  # (S, B, H, W, K)
+        maps_flat = jnp.zeros((16 * 16, 3), jnp.float32)
+        flags = (True, True, True, 16, 16)
+
+        def shade(dT, p):
+            return csh.compact_fragment_shade(
+                dT, p, jnp.float32(1e-3), flags, maps_flat, 16,
+                None, (0.0, 0.0, 0.0), 10,
+                lambda: jnp.zeros((1, 4, 8, 4), jnp.float32),
+            )
+
+        out = jax.vmap(shade)(dynT, p2f)     # dense fallback: no boom
+        assert out.shape == (2, 1, 4, 8, 4)
+
+        # unbatched + large enough for a non-empty cap ladder: the
+        # compacted branch IS traced
+        p2f_big = -jnp.ones((1, 32, 32, 4), jnp.int32)
+        with pytest.raises(AssertionError, match="compacted branch"):
+            jax.jit(
+                lambda dT, p: csh.compact_fragment_shade(
+                    dT, p, jnp.float32(1e-3), flags, maps_flat, 16,
+                    None, (0.0, 0.0, 0.0), 10,
+                    lambda: jnp.zeros((1, 32, 32, 4), jnp.float32),
+                )
+            )(dynT[0], p2f_big)
+
     def test_empty_scene_is_background(self, monkeypatch):
         # scene far outside every view frustum -> zero valid fragments
         from dbw_tpu.render import MeshScene, TextureAtlas, Camera
