@@ -242,6 +242,18 @@ def compact_fragment_shade(dynT, p2f_b, sigma, flags, maps_flat, TWt,
             maps_flat, TWt, ambient, background_color, dims, F,
         )
 
-    branches = [branch(M) for M in caps] + [dense_fn]
+    # Every branch is rematerialized: lax.switch AD otherwise UNIONS the
+    # branches' residuals — each branch must emit zero-filled stand-ins for
+    # every other branch's saved tensors, and the dense branch's rank-5
+    # (B, H, W, K, C) fragment tensors tile-pad up to 204x against the
+    # (8, 128) TPU tile (measured: 4 x 3.66 GB zero broadcasts -> 21.4 GB
+    # program, instant OOM at DTU scale). With jax.checkpoint the switch
+    # carries NO residuals (closed-over tracers become remat inputs) and
+    # the backward re-runs only the TAKEN branch's forward — cheap by
+    # construction for the compact branches, and the dense fallback is the
+    # rare-overflow case. prevent_cse=False: the step runs inside lax.scan
+    # where XLA cannot CSE across the remat boundary anyway (jax docs).
+    remat = partial(jax.checkpoint, prevent_cse=False)
+    branches = [remat(branch(M)) for M in caps] + [remat(dense_fn)]
     which = sum((count > M).astype(jnp.int32) for M in caps)
     return jax.lax.switch(which, branches)

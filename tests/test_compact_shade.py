@@ -193,7 +193,8 @@ def _run_shade(scene, cam, sigma, compact, monkeypatch, n_views=2, div="2"):
 
 
 class TestEndToEnd:
-    @pytest.mark.parametrize("sigma", [1e-3, 0.0])
+    @pytest.mark.parametrize("sigma", [
+        pytest.param(1e-3, marks=pytest.mark.slow), 0.0])
     def test_compact_matches_dense(self, sigma, monkeypatch):
         scene, cam = _scene_and_cam()
         img_c, g_c = _run_shade(scene, cam, sigma, True, monkeypatch)
@@ -210,6 +211,7 @@ class TestEndToEnd:
                 err_msg=name,
             )
 
+    @pytest.mark.slow
     def test_dense_fallback_when_over_cap(self, monkeypatch):
         # div huge -> tiny caps -> count exceeds them -> dense branch; the
         # switch must still produce identical results
@@ -254,6 +256,7 @@ class TestEndToEnd:
                 )
             )(dynT[0], p2f_big)
 
+    @pytest.mark.slow
     def test_empty_scene_is_background(self, monkeypatch):
         # scene far outside every view frustum -> zero valid fragments
         from dbw_tpu.render import MeshScene, TextureAtlas, Camera
