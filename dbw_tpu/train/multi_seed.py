@@ -58,7 +58,15 @@ class MultiSeedTrainer:
     XLA then runs each seed's optimization on its own device group with
     zero cross-seed traffic."""
 
-    def __init__(self, cfg, run_dir, seeds, resume=False):
+    def __init__(self, cfg, run_dir, seeds, resume=False, n_data=None):
+        """``n_data``: explicit data-axis width (devices sharding the view
+        batch; gradients pmean over it). This is the production mode for
+        single-scene wall-clock scaling — the seed/scene axes multiply
+        THROUGHPUT across independent optimizations, but only the data
+        axis shortens ONE scan's optimization (BASELINE.md north-star):
+        ``multi_pipeline.py --seeds 4321 --n-data 8`` trains one seed with
+        the B-view batch split over 8 devices. Divisibility is validated
+        loudly (no silent fallback for an explicitly requested axis)."""
         self.run_dir = path_mkdir(run_dir)
         self.cfg = cfg
         ckpt = None
@@ -80,21 +88,37 @@ class MultiSeedTrainer:
         self.batch_size = cfg["training"].get("batch_size", 4)
         self._shard = None
         self._mesh = None
-        if len(jax.devices()) > 1:
+        n_dev = len(jax.devices())
+        if n_data is not None and n_data > 1 and n_dev == 1:
+            raise ValueError(
+                f"n_data={n_data} requested but only {n_dev} device present")
+        if n_dev > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from ..parallel.mesh import factor_devices, make_mesh
             from ..parallel.seeds import pad_seeds
 
-            n_dev = len(jax.devices())
-            # leftover devices beyond the seed count become a data axis
-            # (gradient pmean over views); if the view batch doesn't divide
-            # it, fall back to all-seed with padded duplicate slots. Seed
-            # slots round up to a multiple of the seed axis (a slot per
-            # device group; duplicates are masked at selection).
-            seed_ax, n_data = factor_devices(n_dev, n_seeds=self.n_valid)
-            if self.batch_size % n_data != 0:
-                seed_ax, n_data = n_dev, 1
+            if n_data is not None:
+                # explicit data axis: validate, never silently fall back
+                if n_dev % n_data:
+                    raise ValueError(
+                        f"n_data={n_data} does not divide {n_dev} devices")
+                if self.batch_size % n_data:
+                    raise ValueError(
+                        f"batch_size={self.batch_size} is not divisible by "
+                        f"n_data={n_data} (each data-axis device takes "
+                        f"B/n_data views)")
+                seed_ax = n_dev // n_data
+            else:
+                # leftover devices beyond the seed count become a data axis
+                # (gradient pmean over views); if the view batch doesn't
+                # divide it, fall back to all-seed with padded duplicate
+                # slots. Seed slots round up to a multiple of the seed axis
+                # (a slot per device group; duplicates are masked at
+                # selection).
+                seed_ax, n_data = factor_devices(n_dev, n_seeds=self.n_valid)
+                if self.batch_size % n_data != 0:
+                    seed_ax, n_data = n_dev, 1
             slots = -(-self.n_valid // seed_ax) * seed_ax
             self.seeds, self.n_valid = pad_seeds(self.seeds, slots)
             self._mesh = make_mesh(seed_ax, n_data)

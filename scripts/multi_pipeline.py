@@ -12,6 +12,13 @@ per seed, scripts/multi_pipeline.sh:12-23 -> src/trainer.py:241-272):
 
 ``--resume`` continues an interrupted protocol from ``multi_model.pkl``
 (written at every val interval), replaying the exact batch order.
+
+Single-scene data parallelism (the BASELINE.md north-star axis): one seed
+with the view batch sharded over all devices — ``--seeds 4321 --n-data 8``
+trains ONE scan with per-device B/8-view gradient shards pmean'd over ICI.
+The seed/scene axes multiply protocol THROUGHPUT; only the data axis
+shortens a single scan's wall-clock. Equality with single-device training
+is pinned by tests/test_parallel.py::test_data_parallel_step_matches_single_device.
 """
 
 import argparse
@@ -35,6 +42,12 @@ def main():
     p.add_argument("-d", "--default", default=None)
     p.add_argument("--n-seeds", type=int, default=5)
     p.add_argument("--seeds", type=int, nargs="*", default=None)
+    p.add_argument("--n-data", type=int, default=None,
+                   help="explicit data-axis width: shard the B-view batch "
+                   "over this many devices per seed (gradient pmean). "
+                   "Single-scene wall-clock scaling = 1 seed + all devices "
+                   "on data: `--seeds 4321 --n-data 8`. Requires n_devices "
+                   "and batch_size divisible by n-data (validated loudly)")
     p.add_argument("--resume", action="store_true",
                    help="continue from the run dir's multi_model.pkl")
     p.add_argument("--per-seed-full", action="store_true",
@@ -63,7 +76,8 @@ def main():
     dump_yaml(cfg, run_dir / Path(args.config).name)
     print_log(f"multi_pipeline: seeds={seeds}, run_dir={run_dir}")
 
-    trainer = MultiSeedTrainer(cfg, run_dir, seeds, resume=args.resume)
+    trainer = MultiSeedTrainer(cfg, run_dir, seeds, resume=args.resume,
+                               n_data=args.n_data)
     trainer.run()
     qk = (None if args.n_traj_videos is None
           else dict(n_traj_videos=args.n_traj_videos))

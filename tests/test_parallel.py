@@ -386,6 +386,7 @@ def _ms_cfg(img=(24, 32), n_views=6, n_epoches=4, spc=1, val_int=3):
     }
 
 
+@pytest.mark.slow
 def test_multi_seed_kill_resume_matches_uninterrupted(tmp_path):
     """A protocol killed right after a mid-run checkpoint and resumed must
     reproduce the uninterrupted final per-seed losses exactly (stacked-state
@@ -428,6 +429,7 @@ def test_multi_seed_kill_resume_matches_uninterrupted(tmp_path):
         assert (run_dir / f"seed{s}" / "val_metrics.tsv").exists()
 
 
+@pytest.mark.slow
 def test_multi_seed_dead_seed_excluded(tmp_path):
     """A seed whose blocks all collapse is excluded from auto-selection;
     the protocol only aborts when EVERY seed is dead."""
@@ -489,6 +491,7 @@ def _scene_cfg(tag, seed, n_epoches=2, val_int=3):
     return cfg
 
 
+@pytest.mark.slow
 def test_multi_scene_trainer_e2e_two_scenes(tmp_path):
     """VERDICT r2 next #6: two scenes as ONE program on the 8-device CPU
     mesh, producing two run dirs with per-scene TSVs + eval artifacts."""
@@ -517,6 +520,7 @@ def test_multi_scene_trainer_e2e_two_scenes(tmp_path):
     assert s0 != s1
 
 
+@pytest.mark.slow
 def test_multi_scene_unequal_view_counts_accounting(tmp_path):
     """Scenes may have different view totals as long as the batch COUNT
     matches; the per-scene loss accounting must weight each scene's ragged
@@ -534,6 +538,7 @@ def test_multi_scene_unequal_view_counts_accounting(tmp_path):
     assert list(np.asarray(t.n_seen)) == [3, 4]
 
 
+@pytest.mark.slow
 def test_multi_scene_matches_single_scene_trainer(tmp_path):
     """Each scene of the sharded multi-scene program must optimize exactly
     like... a close cousin of the standalone path: with 1 seed and no data
@@ -549,6 +554,7 @@ def test_multi_scene_matches_single_scene_trainer(tmp_path):
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_multi_scene_kill_resume(tmp_path):
     """Stacked multi-scene checkpoint: killed after the first periodic save
     and resumed must reproduce the uninterrupted per-scene losses."""
@@ -581,3 +587,170 @@ def test_multi_scene_kill_resume(tmp_path):
     _, best2, losses2 = t2.run()
     np.testing.assert_allclose(losses2, losses0, rtol=1e-6, atol=1e-7)
     np.testing.assert_array_equal(best2, best0)
+
+
+# ---------------------------------------------------------------------------
+# single-scene data parallelism (VERDICT r3 #4): the north-star wall-clock
+# axis — ONE scene's view batch sharded over devices, gradients pmean'd
+
+
+@pytest.mark.slow
+def test_data_parallel_step_matches_single_device():
+    """(seed=2, data=4) over the full 8-device mesh, B=4 views (ONE view per
+    data device — the maximal shard) must reproduce single-device training
+    step for step: pmean of per-shard gradients == full-batch gradient.
+    Every loss term is a batch mean (or batch-independent: parsimony/TV/
+    overlap), and the per-step RNG draws are per-block, not per-view, so
+    replicating the key across the data axis is exactly equivalent."""
+    from dbw_tpu.models.dbw import BlocksWorld
+    from dbw_tpu.train.optimizer import create_optimizer
+    from dbw_tpu.ops.rotations import look_at_rotation
+
+    model = BlocksWorld(
+        (16, 24),
+        mesh=dict(n_blocks=2, txt_size=16),
+        renderer=dict(faces_per_pixel=2),
+        rend_optim=dict(decouple_rendering=True),
+        loss=dict(rgb_weight=1, tv_weight=0.1, parsimony_weight=0.01),
+    )
+    K = np.zeros((4, 4), np.float32)
+    K[0, 0] = K[1, 1] = 2.0
+    model.set_camera(K)
+
+    mesh = make_mesh(n_seed=2, n_data=4)
+    assert dict(mesh.shape) == {"seed": 2, "data": 4}
+    params_list = [model.init_params(seed=s) for s in (3, 4)]
+    cfg = {"training": {"optimizer": {"name": "adam", "lr": 1e-2}}}
+    opt = create_optimizer(cfg, params_list[0])
+    runner = MultiSeedRunner(model, opt, mesh)
+
+    B = 4  # == n_data: each data device computes gradients on ONE view
+    R, T = look_at_rotation(3.0, 20.0, jnp.linspace(-30.0, 30.0, B))
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.random((B, 16, 24, 3), np.float32))
+    phase = model.phase_for_epoch(0, training=True)
+    lrs = {"main": jnp.float32(1e-2), "texture": jnp.float32(1e-2)}
+
+    stacked = stack_params(params_list)
+    opt_sh = stack_params([opt.init(p) for p in params_list])
+
+    # single-device reference: plain full-batch steps per seed
+    def single_step(p, o, key):
+        def loss_fn(pp):
+            losses = model.forward(pp, phase, imgs, R, T, key)
+            return losses["total"], losses
+
+        grads, losses = jax.grad(loss_fn, has_aux=True)(p)
+        updates, o = opt.update(grads, o, lrs)
+        p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
+        return p, o, losses["total"]
+
+    single_step = jax.jit(single_step)
+    ref_p = list(params_list)
+    ref_o = [opt.init(p) for p in params_list]
+
+    base = jax.random.PRNGKey(7)
+    for step in range(3):
+        keys = jax.random.split(jax.random.fold_in(base, step), 2)
+        stacked, opt_sh, losses = runner.step(
+            stacked, opt_sh, imgs, R, T, phase, lrs, keys
+        )
+        ref_losses = []
+        for i in range(2):
+            ref_p[i], ref_o[i], l = single_step(ref_p[i], ref_o[i], keys[i])
+            ref_losses.append(float(l))
+        # step-for-step loss equality (pmean of per-view means == full-batch
+        # mean, up to float association)
+        np.testing.assert_allclose(
+            np.asarray(losses), ref_losses, rtol=2e-5,
+            err_msg=f"step {step}"
+        )
+
+    for i in range(2):
+        got = unstack_params(stacked, i)
+        for name in got._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(got, name)),
+                np.asarray(getattr(ref_p[i], name)),
+                atol=3e-5, err_msg=f"seed{i}.{name}",
+            )
+
+
+def test_multi_seed_trainer_explicit_n_data_validation(tmp_path):
+    """Explicit --n-data is validated loudly — no silent fallback."""
+    from dbw_tpu.train.multi_seed import MultiSeedTrainer
+
+    cfg = _ms_cfg()  # batch_size 2
+    with pytest.raises(ValueError, match="does not divide"):
+        MultiSeedTrainer(cfg, tmp_path / "a", seeds=[11], n_data=3)
+    with pytest.raises(ValueError, match="not divisible"):
+        # 4 divides 8 devices but batch_size=2 doesn't divide over 4
+        MultiSeedTrainer(cfg, tmp_path / "b", seeds=[11], n_data=4)
+
+
+@pytest.mark.slow
+def test_multi_seed_trainer_single_seed_data_parallel_e2e(tmp_path):
+    """Production single-scene DP mode (multi_pipeline.py --seeds S
+    --n-data N): one seed on a (seed=4, data=2) mesh trains end-to-end and
+    matches the single-device trainer's final loss."""
+    from dbw_tpu.train.multi_seed import MultiSeedTrainer
+
+    cfg = _ms_cfg(n_epoches=2, val_int=2)
+    t = MultiSeedTrainer(cfg, tmp_path / "dp", seeds=[11], n_data=2)
+    assert dict(t._mesh.shape) == {"seed": 4, "data": 2}
+    _, best_seed, losses_dp = t.run()
+    assert best_seed == 11
+
+    # reference: the same protocol forced onto (seed=8, data=1)
+    t1 = MultiSeedTrainer(cfg, tmp_path / "ref", seeds=[11], n_data=1)
+    assert dict(t1._mesh.shape) == {"seed": 8, "data": 1}
+    _, _, losses_ref = t1.run()
+    np.testing.assert_allclose(losses_dp, losses_ref, rtol=2e-4)
+
+
+@pytest.mark.slow
+def test_multi_seed_runner_with_perceptual_loss():
+    """VERDICT r3 #8: the full production loss stack (incl. the VGG
+    perceptual term) compiles and runs under shard_map on the (seed, data)
+    mesh — the program the protocol actually trains with."""
+    from dbw_tpu.models.dbw import BlocksWorld
+    from dbw_tpu.train.optimizer import create_optimizer
+    from dbw_tpu.ops.rotations import look_at_rotation
+
+    model = BlocksWorld(
+        (16, 24),
+        mesh=dict(n_blocks=2, txt_size=16),
+        renderer=dict(faces_per_pixel=2),
+        rend_optim=dict(decouple_rendering=True, opacity_noise=True),
+        loss=dict(rgb_weight=1, perceptual_weight=0.1, parsimony_weight=0.01,
+                  tv_weight=0.1, overlap_weight=1),
+    )
+    K = np.zeros((4, 4), np.float32)
+    K[0, 0] = K[1, 1] = 2.0
+    model.set_camera(K)
+
+    mesh = make_mesh(n_seed=4, n_data=2)
+    params_list = [model.init_params(seed=s) for s in range(4)]
+    cfg = {"training": {"optimizer": {"name": "adam", "lr": 1e-2}}}
+    opt = create_optimizer(cfg, params_list[0])
+    runner = MultiSeedRunner(model, opt, mesh)
+
+    B = 4
+    R, T = look_at_rotation(3.0, 20.0, jnp.linspace(-30.0, 30.0, B))
+    imgs = jnp.full((B, 16, 24, 3), 0.5)
+    phase = model.phase_for_epoch(0, training=True)
+    lrs = {"main": jnp.float32(1e-2), "texture": jnp.float32(1e-2)}
+    keys = jax.random.split(jax.random.PRNGKey(7), 4)
+
+    stacked = stack_params(params_list)
+    opt_sh = stack_params([opt.init(p) for p in params_list])
+    new_params, _, losses = runner.step(
+        stacked, opt_sh, imgs, R, T, phase, lrs, keys
+    )
+    assert losses.shape == (4,)
+    assert np.isfinite(np.asarray(losses)).all()
+    # params actually moved (gradients flowed through the VGG term)
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), new_params, stacked
+    )
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
