@@ -309,6 +309,7 @@ class TestQuantEvalPadding:
     render compiles once (VERDICT r2 weak #5) — and the pad views must NOT
     leak into any score column."""
 
+    @pytest.mark.slow
     def test_pad_views_do_not_leak(self):
         import jax
         import jax.numpy as jnp

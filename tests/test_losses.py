@@ -249,6 +249,7 @@ class TestBlockTVReferenceSemantics:
         m.set_camera(K)
         return m
 
+    @pytest.mark.slow
     def test_block_tv_matches_reference_semantics(self):
         import torch
 
@@ -282,6 +283,7 @@ class TestBlockTVReferenceSemantics:
         expected = 0.1 * float(tv_loss)
         assert got == pytest.approx(expected, rel=1e-5)
 
+    @pytest.mark.slow
     def test_dead_block_texture_receives_tv_gradient(self):
         from dbw_tpu.ops.rotations import look_at_rotation
 

@@ -160,7 +160,9 @@ class TestShadingTypesAndRegistries:
         rec, _ = m.predict(params, phase, R, T)
         return np.asarray(rec)
 
-    @pytest.mark.parametrize("shading", ["raw", "flat", "phong", "gouraud"])
+    @pytest.mark.parametrize("shading", [
+        pytest.param("raw", marks=pytest.mark.slow),
+        "flat", "phong", "gouraud"])
     def test_shading_types_render(self, shading):
         m = self._model(dict(faces_per_pixel=2, shading_type=shading))
         rec = self._render(m)
