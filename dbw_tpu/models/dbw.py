@@ -188,13 +188,19 @@ class BlocksWorld:
         self.perceptual_name = kw.pop("perceptual_name", "lpips")
         self.tv_norm = tv_norm_funcs[kw.pop("tv_type", "l2sq")]
         vgg_weights_path = kw.pop("vgg_weights", None)
+        # filter seed of the random-feature fallback (no pretrained weights
+        # in this environment): exposed so the random-VGG sensitivity can be
+        # A/B'd across filter draws (VERDICT r3 #5). Ignored when real
+        # weights are loaded.
+        vgg_filter_seed = int(kw.pop("vgg_filter_seed", 0))
         assert not kw, f"unknown loss config keys: {kw}"
         self.loss_weights = {k: v for k, v in weights.items() if v > 0}
         self.loss_names = [f"loss_{n}" for n in list(self.loss_weights) + ["total"]]
         if "perceptual" in self.loss_weights:
             # honor the configured flavor; reference defaults to LPIPS
             # (src/model/dbw.py:155,163 + registry src/model/loss.py:12-25)
-            shared_vgg = vgg or VGG16Features.from_env_or_random(path=vgg_weights_path)
+            shared_vgg = vgg or VGG16Features.from_env_or_random(
+                seed=vgg_filter_seed, path=vgg_weights_path)
             flavors = {"lpips": LPIPSLoss, "perceptual": PerceptualLoss}
             assert self.perceptual_name in flavors, (
                 f"unknown perceptual_name {self.perceptual_name!r}; "

@@ -58,17 +58,22 @@ def compact_shade_enabled(K):
         return False
     if mode in ("1", "on", "true"):
         return K > 1
-    # auto: TPU only — pending on-chip measurement vs the dense pipeline
-    # (flip to default-on once BENCH_NOTES records the win)
-    return False
+    # auto: ON for accelerator backends (measured on the v5e, BENCH_NOTES
+    # round 4: 9.7 steps/s vs 6.6 dense at the DTU bench shape; equality
+    # pinned by tests/test_compact_shade.py). CPU keeps dense — the sort
+    # pipeline is tuned for TPU tile shapes, and the suite compares the
+    # two paths explicitly anyway.
+    import jax
+
+    return K > 1 and jax.default_backend() != "cpu"
 
 
 def _compact_div():
-    """Tightest cap divisor of the [N/div, N/3, dense] ladder."""
+    """Tightest cap divisor of the [N/div, ..., N/3, dense] ladder."""
     try:
-        return int(os.environ.get("DBW_COMPACT_SHADE_DIV", "8"))
+        return int(os.environ.get("DBW_COMPACT_SHADE_DIV", "16"))
     except ValueError:
-        return 8
+        return 16
 
 
 # ---------------------------------------------------------------------------
@@ -232,7 +237,11 @@ def compact_fragment_shade(dynT, p2f_b, sigma, flags, maps_flat, TWt,
 
     div = _compact_div()
     # lane-quantum alignment; the fused kernel pads its stream to SUB*CH
-    # internally, so a finer cap costs at most one extra padded block
+    # internally, so a finer cap costs at most one extra padded block.
+    # Exactly TWO rungs ([N/div, N/3]) + dense: a third intermediate rung
+    # was tried (round 4) and sent the server-side XLA compile pathological
+    # (>25 min, killed) — every rung replicates the whole fused pipeline in
+    # the step graph. DIV=16 measured best on the v5e (BENCH_NOTES round 4).
     align = lambda m: min(NB, -(-m // 128) * 128)
     caps = sorted({align(NB // max(div, 2)), align(NB // 3)} - {NB})
 
