@@ -97,11 +97,16 @@ def main():
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.random((B, H, W, 3), np.float32))
 
-    from functools import partial
+    from dbw_tpu.utils.aot_cache import aot_jit
 
     SPC = max(args.steps_per_call, 1)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
+    # AOT executable cache (utils/aot_cache.py): the axon platform bypasses
+    # the persistent compile cache, so without this every bench process pays
+    # ~209 s of remote compile (BENCH_r03 cold_start_s). With it, the first
+    # run serializes the compiled executable and later runs load it in
+    # seconds. DBW_AOT=0 restores the plain jit path.
+    @aot_jit(donate_argnums=(0, 1), label="bench_multi_step")
     def multi_step(params, opt_state, ctrs):
         """lax.scan of SPC optimizer steps in ONE device program — the
         trainer-shaped inner loop (same batch each step here; throughput

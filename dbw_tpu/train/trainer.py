@@ -26,6 +26,7 @@ from ..data import create_train_val_test_loader
 from ..eval.metrics import Metrics
 from ..models import create_model
 
+from ..utils.aot_cache import aot_jit
 from ..utils.config import dump_yaml, load_yaml
 from ..utils.image import ImageLogger
 from ..utils.logger import create_logger, print_log, print_warning
@@ -311,13 +312,19 @@ class Trainer:
             p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
             return p, o, jnp.stack([losses[k] for k in loss_keys])
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def step(params, opt_state, imgs_all, R_all, T_all, payload, phase,
-                 lrs, base_key):
-            return one_step(params, opt_state, imgs_all, R_all, T_all,
-                            payload, phase, lrs, base_key)
+        # AOT executable cache: axon bypasses the persistent compile cache,
+        # so the scanned step's first window costs ~19 min of remote compile
+        # per process (BENCH_NOTES round 3). aot_jit serializes the compiled
+        # executable once and later processes load it in seconds
+        # (utils/aot_cache.py; falls back to plain jit on any failure).
+        step = aot_jit(
+            lambda params, opt_state, imgs_all, R_all, T_all, payload, phase,
+            lrs, base_key: one_step(params, opt_state, imgs_all, R_all,
+                                    T_all, payload, phase, lrs, base_key),
+            donate_argnums=(0, 1), label="train_step",
+        )
 
-        @partial(jax.jit, donate_argnums=(0, 1))
+        @aot_jit(donate_argnums=(0, 1), label="train_multi_step")
         def multi_step(params, opt_state, imgs_all, R_all, T_all, payload_s,
                        phase, lrs, base_key):
             """S optimizer steps scanned in ONE device program (payload_s is
