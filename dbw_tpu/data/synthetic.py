@@ -16,8 +16,16 @@ from .base import MultiViewDataset
 
 
 def make_synthetic_scene(img_size=(64, 80), n_views=12, n_blocks=3,
-                         txt_size=32, seed=0, dist=3.0, backend="xla"):
+                         txt_size=32, seed=0, dist=3.0, block_scale=1.0,
+                         backend="xla"):
     """Render `n_views` cameras on a circle around a random GT block scene.
+
+    ``block_scale`` scales the GT blocks (1.0 = the default unit block):
+    large values make the scene *block-dominated*, so a model block that
+    never lands on the GT gets no recon gradient while a missed GT block
+    leaves a large photometric residual — the regime where seed placement
+    genuinely decides the outcome (the multi-seed protocol's raison
+    d'être, reference scripts/multi_pipeline.sh).
 
     Returns (MultiViewDataset, gt_model, gt_params)."""
     cfg = dict(
@@ -41,7 +49,7 @@ def make_synthetic_scene(img_size=(64, 80), n_views=12, n_blocks=3,
     params = params._replace(
         alpha_logit=jnp.full((n_blocks,), 8.0),
         T=jnp.asarray(rng.uniform(-0.4, 0.4, (n_blocks, 3)), jnp.float32),
-        S=jnp.zeros((n_blocks, 3)),
+        S=jnp.full((n_blocks, 3), np.log(block_scale), jnp.float32),
         # smooth, saturated textures so photometric loss is informative
         textures=jnp.asarray(
             rng.uniform(-2.0, 2.0, (n_blocks, 1, 1, 3))
@@ -93,11 +101,15 @@ def sample_gt_points(model, params, n_points=2000, seed=0):
     return (pts * model.S_world) @ model.statics.R_world + model.statics.T_world
 
 
-def load_synthetic(split, img_size, tag="", n_views=12, seed=0, **kwargs):
+def load_synthetic(split, img_size, tag="", n_views=12, seed=0,
+                   gt_n_blocks=3, gt_scale=1.0, gt_dist=3.0, **kwargs):
     kwargs.pop("view_ids", None)
     assert not kwargs, f"unknown synthetic dataset keys: {kwargs}"
     n = {"train": n_views, "val": max(2, n_views // 4), "test": max(2, n_views // 3)}[
         split
     ]
-    ds, _, _ = make_synthetic_scene(img_size, n_views=n, seed=seed)
+    ds, _, _ = make_synthetic_scene(
+        img_size, n_views=n, seed=seed, n_blocks=gt_n_blocks,
+        block_scale=gt_scale, dist=gt_dist,
+    )
     return ds
