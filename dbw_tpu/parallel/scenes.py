@@ -22,6 +22,8 @@ import jax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+from .seeds import seed_axis_exec
+
 _CAMERA_ATTRS = (
     "camera", "renderer", "renderer_env", "renderer_viz", "renderer_light"
 )
@@ -96,7 +98,7 @@ class MultiSceneRunner:
                     p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
                     return p, o, loss_t
 
-                return jax.vmap(per_seed)(p_seeds, o_seeds, keys)
+                return seed_axis_exec(per_seed, p_seeds, o_seeds, keys)
             finally:
                 for a, v in snapshot.items():
                     setattr(model, a, v)
@@ -117,11 +119,12 @@ class MultiSceneRunner:
             check_vma=False,
         )
         def sharded(K, params, opt, imgs, R, T, phase, lrs, keys):
-            return jax.vmap(
+            return seed_axis_exec(
                 lambda k, p, o, im, r, t, ky: scene_fn(
                     k, p, o, im, r, t, phase, lrs, ky
-                )
-            )(K, params, opt, imgs, R, T, keys)
+                ),
+                K, params, opt, imgs, R, T, keys,
+            )
 
         self._sharded_raw = sharded  # un-jitted: reused by the scanned path
         return jax.jit(sharded, donate_argnums=(1, 2))
@@ -167,7 +170,7 @@ class MultiSceneRunner:
                     p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
                     return p, o, loss_t
 
-                return jax.vmap(per_seed)(p_seeds, o_seeds, keys)
+                return seed_axis_exec(per_seed, p_seeds, o_seeds, keys)
             finally:
                 for a, v in snapshot.items():
                     setattr(model, a, v)
@@ -200,11 +203,12 @@ class MultiSceneRunner:
         )
         def sharded(K, params, opt, imgs_all, R_all, T_all, idx, phase, lrs,
                     keys):
-            return jax.vmap(
+            return seed_axis_exec(
                 lambda k, p, o, ia, ra, ta, ix, ky: scene_fn(
                     k, p, o, ia, ra, ta, ix, phase, lrs, ky
-                )
-            )(K, params, opt, imgs_all, R_all, T_all, idx, keys)
+                ),
+                K, params, opt, imgs_all, R_all, T_all, idx, keys,
+            )
 
         self._sharded_idx_raw = sharded
         return jax.jit(sharded, donate_argnums=(1, 2))

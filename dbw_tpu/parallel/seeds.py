@@ -12,12 +12,53 @@ over the all-gathered per-seed losses.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
+
+
+def _seed_exec_mode():
+    return os.environ.get("DBW_SEED_EXEC", "auto").lower()
+
+
+def seed_axis_exec(fn, *xs):
+    """Execute ``fn`` over the leading (local) seed axis of ``xs``.
+
+    ``vmap`` fuses all local seeds into one batched program — but it turns
+    every intermediate into a BatchTracer, which forces the compact-shade
+    ladder into its dense fallback (a lax.switch whose predicate is batched
+    executes EVERY branch — render/compact_shade.py). That tax is paid even
+    for a size-1 seed axis, i.e. the multi-chip 1-seed-per-device layout.
+
+    ``lax.map`` runs the seeds sequentially inside the same compiled step:
+    each per-seed program traces UNBATCHED, so the full compact ladder (its
+    ~1.5x measured step win and its ~K-fold smaller live fragment set)
+    applies per seed. Sequential seeds also cap the peak memory at ONE
+    seed's program instead of S_local stacked dense fragment tensors.
+
+    Modes (env DBW_SEED_EXEC): ``vmap`` | ``map`` | ``auto`` (default).
+    auto = direct call for a single local seed (no batching machinery),
+    lax.map on accelerator backends where the compact pipeline is live,
+    vmap otherwise (CPU; the suite pins map == vmap explicitly).
+    """
+    n = jax.tree_util.tree_leaves(xs[0])[0].shape[0]
+    mode = _seed_exec_mode()
+    if mode not in ("vmap", "map"):  # auto
+        if n == 1:
+            ys = fn(*jax.tree_util.tree_map(lambda a: a[0], xs))
+            return jax.tree_util.tree_map(lambda a: a[None], ys)
+        from ..render.compact_shade import _compact_mode
+
+        on_accel = jax.default_backend() != "cpu"
+        compact_live = _compact_mode() not in ("0", "off", "false")
+        mode = "map" if (on_accel and compact_live) else "vmap"
+    if mode == "map":
+        return jax.lax.map(lambda args: fn(*args), xs)
+    return jax.vmap(fn)(*xs)
 
 
 def stack_params(params_list):
@@ -102,10 +143,10 @@ class MultiSeedRunner:
         )
         def sharded_step(params, opt_state, imgs, R, T, phase, lrs, keys):
             # params: (S_local, ...); imgs: (B_local, H, W, 3)
-            step = jax.vmap(
-                lambda p, o, k: per_seed(p, o, imgs, R, T, phase, lrs, k)
+            return seed_axis_exec(
+                lambda p, o, k: per_seed(p, o, imgs, R, T, phase, lrs, k),
+                params, opt_state, keys,
             )
-            return step(params, opt_state, keys)
 
         return jax.jit(sharded_step, donate_argnums=(0, 1))
 
@@ -130,10 +171,11 @@ class MultiSeedRunner:
             def body(carry, xs):
                 p, o = carry
                 imgs, R, T, keys = xs
-                p, o, loss = jax.vmap(
+                p, o, loss = seed_axis_exec(
                     lambda pp, oo, k: per_seed(pp, oo, imgs, R, T, phase,
-                                               lrs, k)
-                )(p, o, keys)
+                                               lrs, k),
+                    p, o, keys,
+                )
                 return (p, o), loss
 
             (params, opt_state), losses = jax.lax.scan(
@@ -166,10 +208,10 @@ class MultiSeedRunner:
         def sharded_step(params, opt_state, imgs_all, R_all, T_all, idx,
                          phase, lrs, keys):
             imgs, R, T = imgs_all[idx], R_all[idx], T_all[idx]
-            step = jax.vmap(
-                lambda p, o, k: per_seed(p, o, imgs, R, T, phase, lrs, k)
+            return seed_axis_exec(
+                lambda p, o, k: per_seed(p, o, imgs, R, T, phase, lrs, k),
+                params, opt_state, keys,
             )
-            return step(params, opt_state, keys)
 
         return jax.jit(sharded_step, donate_argnums=(0, 1))
 
@@ -195,10 +237,11 @@ class MultiSeedRunner:
                 p, o = carry
                 idx, keys = xs
                 imgs, R, T = imgs_all[idx], R_all[idx], T_all[idx]
-                p, o, loss = jax.vmap(
+                p, o, loss = seed_axis_exec(
                     lambda pp, oo, k: per_seed(pp, oo, imgs, R, T, phase,
-                                               lrs, k)
-                )(p, o, keys)
+                                               lrs, k),
+                    p, o, keys,
+                )
                 return (p, o), loss
 
             (params, opt_state), losses = jax.lax.scan(

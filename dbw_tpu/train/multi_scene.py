@@ -37,7 +37,7 @@ from ..train.optimizer import create_optimizer
 from ..train.scheduler import create_scheduler
 from ..utils.logger import print_log
 from ..utils.misc import path_mkdir
-from ..parallel.seeds import stack_params, unstack_params
+from ..parallel.seeds import seed_axis_exec, stack_params, unstack_params
 from ..parallel.scenes import _CAMERA_ATTRS, stack_scene_params
 from .multi_seed import _pad_ids
 
@@ -299,18 +299,19 @@ class MultiSceneTrainer:
                     )
                     return p, o, losses["total"]
 
-                return jax.vmap(per_seed)(p_seeds, o_seeds, keys)
+                return seed_axis_exec(per_seed, p_seeds, o_seeds, keys)
             finally:
                 for a, v in snapshot.items():
                     setattr(model, a, v)
 
         def one_step(K, params, opt, imgs_all, R_all, T_all, idx, phase, lrs,
                      keys):
-            return jax.vmap(
+            return seed_axis_exec(
                 lambda k, p, o, ia, ra, ta, ix, ky: scene_fn(
                     k, p, o, ia, ra, ta, ix, phase, lrs, ky
-                )
-            )(K, params, opt, imgs_all, R_all, T_all, idx, keys)
+                ),
+                K, params, opt, imgs_all, R_all, T_all, idx, keys,
+            )
 
         step = jax.jit(one_step, donate_argnums=(1, 2))
 

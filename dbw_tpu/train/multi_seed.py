@@ -243,7 +243,9 @@ class MultiSeedTrainer:
                     )
                     return p, o, losses["total"]
 
-                return jax.vmap(one)(params_S, opt_S, keys)
+                from ..parallel.seeds import seed_axis_exec
+
+                return seed_axis_exec(one, params_S, opt_S, keys)
 
             self._step = jax.jit(one_step, donate_argnums=(0, 1))
 

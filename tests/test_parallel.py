@@ -754,3 +754,90 @@ def test_multi_seed_runner_with_perceptual_loss():
         lambda a, b: float(jnp.abs(a - b).max()), new_params, stacked
     )
     assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+def test_seed_axis_exec_modes_agree(monkeypatch):
+    """lax.map / vmap / auto-single seed executors are interchangeable:
+    identical results, identical output stacking."""
+    from dbw_tpu.parallel.seeds import seed_axis_exec
+
+    def fn(a, b):
+        return a * 2.0 + b.sum(), {"sq": a**2}
+
+    a = jnp.arange(12.0).reshape(4, 3)
+    b = jnp.ones((4, 2))
+
+    monkeypatch.setenv("DBW_SEED_EXEC", "vmap")
+    ref = seed_axis_exec(fn, a, b)
+    monkeypatch.setenv("DBW_SEED_EXEC", "map")
+    got = seed_axis_exec(fn, a, b)
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)),
+        ref, got,
+    )
+
+    # auto + single slot: the direct-call path keeps the leading axis
+    monkeypatch.setenv("DBW_SEED_EXEC", "auto")
+    one = seed_axis_exec(fn, a[:1], b[:1])
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_array_equal(
+            np.asarray(x), np.asarray(y[:1])
+        ),
+        one, ref,
+    )
+
+
+def test_multi_seed_runner_map_exec_matches_vmap(monkeypatch):
+    """The sequential (lax.map) seed executor — the accelerator default,
+    where the compact-shade ladder stays live per seed — must produce the
+    exact same updates as the batched vmap executor."""
+    from dbw_tpu.models.dbw import BlocksWorld
+    from dbw_tpu.ops.rotations import look_at_rotation
+    from dbw_tpu.train.optimizer import create_optimizer
+
+    model = BlocksWorld(
+        (12, 16),
+        mesh=dict(n_blocks=2, txt_size=16),
+        renderer=dict(faces_per_pixel=2),
+        rend_optim=dict(decouple_rendering=True),
+        loss=dict(rgb_weight=1, tv_weight=0.1),
+    )
+    K = np.zeros((4, 4), np.float32)
+    K[0, 0] = K[1, 1] = 2.0
+    model.set_camera(K)
+
+    mesh = make_mesh()
+    S = mesh.shape["seed"]
+    n_data = mesh.shape["data"]
+    params_list = [model.init_params(seed=s) for s in range(S)]
+    cfg = {"training": {"optimizer": {"name": "adam", "lr": 1e-2}}}
+    opt = create_optimizer(cfg, params_list[0])
+
+    B = n_data * 2
+    R, T = look_at_rotation(3.0, 20.0, jnp.linspace(-30.0, 30.0, B))
+    imgs = jnp.full((B, 12, 16, 3), 0.5)
+    phase = model.phase_for_epoch(0, training=True)
+    lrs = {"main": jnp.float32(1e-2), "texture": jnp.float32(1e-2)}
+    keys = jax.random.split(jax.random.PRNGKey(7), S)
+
+    results = {}
+    for mode in ("vmap", "map"):
+        monkeypatch.setenv("DBW_SEED_EXEC", mode)
+        runner = MultiSeedRunner(model, opt, mesh)
+        stacked = stack_params(params_list)
+        opt_states = stack_params([opt.init(p) for p in params_list])
+        results[mode] = runner.step(
+            stacked, opt_states, imgs, R, T, phase, lrs, keys
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(results["vmap"][2]), np.asarray(results["map"][2]),
+        rtol=1e-6,
+    )
+    for name in results["vmap"][0]._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(results["map"][0], name)),
+            np.asarray(getattr(results["vmap"][0], name)),
+            atol=1e-6,
+            err_msg=name,
+        )
