@@ -24,6 +24,12 @@ def _depthwise_conv(x, w2d, channels, padding):
     # x: (B, H, W, C); w2d: (k, k) -> depthwise filters (k, k, 1, C)
     k = w2d.shape[0]
     filt = jnp.broadcast_to(w2d[:, :, None, None], (k, k, 1, channels))
+    # HIGHEST precision is load-bearing on TPU: the default bf16 conv makes
+    # the variance estimate conv(x*x) - mu*mu catastrophically cancel
+    # (bf16 has ~3 significant digits; s1/s2 come out NEGATIVE at the
+    # -1e-2 scale >> c2 = 9e-4), which drives the SSIM map outside [-1, 1]
+    # (measured: "SSIM=1.442" in a real TPU eval). f32 MXU passes cost
+    # microseconds at metric-eval rates.
     return jax.lax.conv_general_dilated(
         x,
         filt,
@@ -31,6 +37,7 @@ def _depthwise_conv(x, w2d, channels, padding):
         padding=[(padding, padding)] * 2,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=channels,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
