@@ -30,8 +30,13 @@ def quantitative_eval(model, params, loader, hard_inference=True, lpips=None):
     phase = Phase.eval_phase(filter_transparent=True)
     scene, _, _ = model.build_scene(params, phase)
 
-    @jax.jit
-    def render_hard(R, T):
+    # scene enters as an ARGUMENT (not a jit-closure constant) so the
+    # lowered HLO — and thus the AOT executable-cache key — is identical
+    # across processes of the same model config (protocol seeds, A/B arms)
+    from ..utils.aot_cache import aot_jit
+
+    @aot_jit(label="quant_render_hard")
+    def render_hard(scene, R, T):
         return model.renderer_viz.render(scene, R, T)[..., :3]
 
     # Per-view scores on STATIC padded shapes: ragged final batches are
@@ -39,7 +44,7 @@ def quantitative_eval(model, params, loader, hard_inference=True, lpips=None):
     # once for a e.g. 49-view loader) and the pad views are sliced off on
     # host before the meters — batch-mean numerics over the real views stay
     # identical to the reference's ragged batches (dbw.py:476-488).
-    @jax.jit
+    @aot_jit(label="quant_score")
     def score_per_view(imgs, rec):
         mse_v = jnp.mean((imgs - rec) ** 2, axis=(1, 2, 3))
         return {
@@ -47,6 +52,12 @@ def quantitative_eval(model, params, loader, hard_inference=True, lpips=None):
             "ssim_v": 1.0 - ssim_loss(imgs, rec, padding=False),
             "lpips_v": lpips(imgs, rec, reduce=False),
         }
+
+    # jitted loss stack: the previous eager call paid per-op tunnel
+    # dispatch for the full loss graph (incl. the VGG convs) every batch
+    @aot_jit(label="quant_losses")
+    def losses_fn(imgs, rec, params, phase, aux, key):
+        return model.compute_losses(imgs, rec, params, phase, aux, key=key)
 
     meters = {
         k: AverageMeter()
@@ -67,13 +78,13 @@ def quantitative_eval(model, params, loader, hard_inference=True, lpips=None):
             imgs = jnp.asarray(inp["imgs"])
             R, T = jnp.asarray(inp["R"]), jnp.asarray(inp["T"])
         if hard_inference:
-            rec = render_hard(R, T)
+            rec = render_hard(scene, R, T)
         else:
             rec, _ = model.predict(params, phase, R, T)
         s = jax.tree_util.tree_map(lambda v: np.asarray(v)[:n],
                                    score_per_view(imgs, rec))
         imgs, rec = imgs[:n], rec[:n]
-        losses = model.compute_losses(imgs, rec, params, phase, aux, key=key)
+        losses = losses_fn(imgs, rec, params, phase, aux, key)
         meters["L_tot"].update(float(losses["total"]), N=n)
         rec_terms = sum(
             float(losses.get(name, 0.0)) for name in ["rgb", "perceptual"]

@@ -508,10 +508,67 @@ class Renderer:
             face_img = _avg_pool_2d(face_img, cfg.supersample)
         return img * (1.0 - mask[..., None]) + mask[..., None] * face_img
 
+    def render_edges(self, scene: MeshScene, R, T, linewidth=1.0):
+        """Batched edge mask + front pix_to_face at supersampled resolution:
+        R (B, 3, 3), T (B, 3) -> (mask (B, Hs, Ws), pix2face (B, Hs, Ws)).
+
+        On the pallas backend the K=1 hard selection kernel runs ONCE over
+        the whole view batch. At supersample 4 the raster covers 16x the
+        training pixel count, and the per-view XLA fallback was the largest
+        device cost of every val interval's fused viz program (the interval
+        anatomy in BENCH_NOTES round 4) — the viz flavors inherit the
+        model's backend, so on TPU this rides the same bbox-culled kernel
+        as training."""
+        cfg = self.config
+        rcfg = cfg.raster_config()._replace(faces_per_pixel=1)
+        geom_b = jax.vmap(
+            lambda r, t: project_faces(
+                scene.verts, scene.faces, r, t, self.camera, z_clip=cfg.z_clip
+            )
+        )(R, T)
+        if cfg.backend == "pallas":
+            from .rasterize_pallas import pack_faces, rasterize_pallas_batched
+
+            packed = jax.vmap(pack_faces)(
+                jax.tree_util.tree_map(jax.lax.stop_gradient, geom_b)
+            )
+            p2f = rasterize_pallas_batched(
+                packed, jnp.float32(0.0), rcfg, hard=True
+            )
+        else:
+            xcfg = rcfg._replace(backend="xla")
+            p2f = jax.vmap(
+                lambda g: rasterize(g, jnp.float32(0.0), xcfg)
+            )(geom_b)
+        from .interpolate import interpolate_fragments_flat
+
+        Hs, Ws = rcfg.image_size
+        s = min(Hs, Ws) / cfg.supersample
+        thresh = (linewidth * cfg.supersample * 2.0 / s) ** 2
+
+        def mask_view(p, g):
+            ff = interpolate_fragments_flat(p, g, rcfg, detach_bary=True)
+            return (
+                (-ff.dists < thresh) & ff.valid
+            ).astype(jnp.float32).reshape(Hs, Ws)
+
+        return jax.vmap(mask_view)(p2f, geom_b), p2f[..., 0]
+
     def draw_edges(self, imgs, scene, R, T, colors, linewidth=1.0):
-        return jax.vmap(
-            lambda im, r, t: self.draw_edges_view(im, scene, r, t, colors, linewidth)
-        )(imgs, R, T)
+        cfg = self.config
+        mask, p2f = self.render_edges(scene, R, T, linewidth)
+        colors = jnp.asarray(colors, jnp.float32)
+        if colors.ndim == 2:
+            face_img = colors[jnp.maximum(p2f, 0)]
+        else:
+            face_img = jnp.broadcast_to(colors, mask.shape + (3,))
+        if cfg.supersample > 1:
+            ss = cfg.supersample
+            mask = jax.vmap(
+                lambda m: _avg_pool_2d(m[..., None], ss)[..., 0]
+            )(mask)
+            face_img = jax.vmap(lambda f: _avg_pool_2d(f, ss))(face_img)
+        return imgs * (1.0 - mask[..., None]) + mask[..., None] * face_img
 
 
 def _avg_pool_2d(img, k):

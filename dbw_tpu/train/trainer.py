@@ -567,11 +567,11 @@ class Trainer:
         if self._predict_fn is None:
             model = self.model
 
-            @jax.jit
+            @aot_jit(label="trainer_predict")
             def predict(params, phase, R, T, key):
                 return model.predict(params, phase, R, T, key=key)[0]
 
-            @jax.jit
+            @aot_jit(label="trainer_predict_syn")
             def predict_syn(params, phase, R, T):
                 return model.predict_synthetic(params, phase, R, T)
 
@@ -596,7 +596,7 @@ class Trainer:
             nrow = max(model.n_blocks // ncol, 1)
             kill = model.kill_blocks
 
-            @jax.jit
+            @aot_jit(label="trainer_viz_all")
             def viz_all(params, phase, R, T, vctr, base_key):
                 # viz RNG stream: disjoint from training (training counters
                 # are global step indices folded directly)

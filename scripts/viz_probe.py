@@ -85,4 +85,23 @@ if __name__ == "__main__":
     t2 = timeit("edge overlay (ss4 raster)", edges, params, phase, rec, R, T)
     t3 = timeit("hard predict", predict, params, phase_hard, R, T, key)
     t4 = timeit("synthetic predict", predict_syn, params, phase, R, T)
-    print(f"{'TOTAL (per val interval)':28s} {(t1+t2+t3+t4) * 1e3:9.1f} ms")
+    print(f"{'SUM (viz streams)':28s} {(t1+t2+t3+t4) * 1e3:9.1f} ms")
+
+    # D2H pull of the viz outputs through the tunnel (uint8, what the
+    # background worker pays — serializes the device queue on one chip)
+    out = [predict(params, phase, R, T, key)] * 3
+    u8 = jax.jit(lambda xs: [
+        (jnp.clip(x, 0, 1) * 255).astype(jnp.uint8) for x in xs
+    ])(out)
+    timeit("viz D2H pull (3x uint8)", lambda xs: [np.asarray(x) for x in xs],
+           u8)
+
+    # checkpoint pack + D2H (what save() dispatches per val interval)
+    from dbw_tpu.utils.device_pack import make_packer
+
+    pack, unpack = make_packer(params)
+    packed = pack(params)
+    nb = packed.size * packed.dtype.itemsize
+    print(f"{'ckpt packed bytes':28s} {nb / 1e6:9.1f} MB")
+    timeit("ckpt pack (device)", pack, params)
+    timeit("ckpt D2H pull", lambda p: np.asarray(p), packed)

@@ -137,3 +137,25 @@ def test_pallas_batched_views():
         geom = jax.tree_util.tree_map(lambda x: x[b], geom_b)
         ref = np.asarray(rasterize(geom, jnp.float32(1e-3), cfg))
         assert (out[b] != ref).mean() < 0.001
+
+
+def test_batched_edges_pallas_matches_xla():
+    """render_edges' pallas branch (one K=1 raster over the view axis) must
+    match the XLA branch exactly (interpret mode on CPU)."""
+    from dbw_tpu.render.renderer import Renderer, RendererConfig
+    from tests.test_render import tri_scene
+
+    verts, faces = random_tri_soup(24, z_range=(1.5, 3.0))
+    scene = tri_scene(verts, faces=faces)
+    cam = Camera.from_fov(70.0)
+    R = jnp.stack([EYE, EYE])
+    T = jnp.stack([ZERO, jnp.asarray([0.1, 0.0, 0.0])])
+    outs = {}
+    for backend in ("xla", "pallas"):
+        cfg = RendererConfig(image_size=(20, 24), faces_per_pixel=1,
+                             sigma=0.0, supersample=2, backend=backend)
+        rend = Renderer(cfg, cam)
+        mask, p2f = rend.render_edges(scene, R, T)
+        outs[backend] = (np.asarray(mask), np.asarray(p2f))
+    np.testing.assert_array_equal(outs["xla"][0], outs["pallas"][0])
+    np.testing.assert_array_equal(outs["xla"][1], outs["pallas"][1])

@@ -56,6 +56,26 @@ class TestEdges:
         assert mask.shape == (16, 16)
         assert int(np.asarray(p2f).max()) == 0
 
+    def test_batched_draw_edges_matches_per_view(self):
+        # the batched path (one raster over the view axis) must reproduce
+        # the per-view reference path exactly
+        cfg = RendererConfig(image_size=(24, 20), faces_per_pixel=1,
+                             sigma=0.0, supersample=2)
+        rend = Renderer(cfg, fov_cam())
+        scene = tri_scene([[0.1, 0.8, 2.0], [-0.8, -0.7, 2.2], [0.8, -0.8, 1.8]])
+        imgs = jnp.stack([jnp.zeros((24, 20, 3)), jnp.full((24, 20, 3), 0.5)])
+        R = jnp.stack([EYE, EYE])
+        T = jnp.stack([ZERO, jnp.asarray([0.05, 0.0, 0.0])])
+        cols = jnp.asarray([[0.0, 1.0, 0.0]])  # (F, 3) per-face
+        batched = rend.draw_edges(imgs, scene, R, T, cols)
+        ref = jnp.stack([
+            rend.draw_edges_view(imgs[i], scene, R[i], T[i], cols)
+            for i in range(2)
+        ])
+        np.testing.assert_allclose(
+            np.asarray(batched), np.asarray(ref), atol=1e-6
+        )
+
 
 class TestUniformSQ:
     def test_samples_near_surface(self):
