@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -40,7 +42,19 @@ def render_rotated_views(renderer, scene, n_views=50, elev=30.0, dist=2.5,
     if T is not None:
         T_t = T_t + jnp.asarray(T)
 
-    render = jax.jit(lambda r, t: renderer.render(scene, r, t))
+    # one cached program per renderer, scene as an ARGUMENT: a fresh
+    # jax.jit wrapper per call would recompile every invocation, and a
+    # scene baked in as closure constants would change the HLO (and the
+    # AOT executable-cache key) every call
+    render = getattr(renderer, "_traj_render_fn", None)
+    if render is None:
+        from ..utils.aot_cache import aot_jit
+
+        render = aot_jit(
+            lambda s, r, t: renderer.render(s, r, t), label="traj_render"
+        )
+        renderer._traj_render_fn = render
+    render = partial(render, scene)
     out = []
     for k in range(0, n_views, chunk):
         Rc, Tc = R_t[k : k + chunk], T_t[k : k + chunk]
