@@ -313,9 +313,11 @@ class MultiSceneTrainer:
                 K, params, opt, imgs_all, R_all, T_all, idx, keys,
             )
 
-        step = jax.jit(one_step, donate_argnums=(1, 2))
+        from ..utils.aot_cache import aot_jit
 
-        @partial(jax.jit, donate_argnums=(1, 2))
+        step = aot_jit(one_step, donate_argnums=(1, 2), label="scene_step")
+
+        @aot_jit(donate_argnums=(1, 2), label="scene_multi_step")
         def multi(K, params, opt, imgs_all, R_all, T_all, idx_s, phase, lrs,
                   keys_s):
             def body(carry, xs):

@@ -247,9 +247,15 @@ class MultiSeedTrainer:
 
                 return seed_axis_exec(one, params_S, opt_S, keys)
 
-            self._step = jax.jit(one_step, donate_argnums=(0, 1))
+            # AOT executable cache: every protocol process was paying the
+            # full ~8-min remote compile for the scanned seed step
+            from ..utils.aot_cache import aot_jit
 
-            @partial(jax.jit, donate_argnums=(0, 1))
+            self._step = aot_jit(
+                one_step, donate_argnums=(0, 1), label="seed_step"
+            )
+
+            @aot_jit(donate_argnums=(0, 1), label="seed_multi_step")
             def multi_step(params_S, opt_S, imgs_all, R_all, T_all, idx_s,
                            phase, lrs, keys_s):
                 def body(carry, xs):
