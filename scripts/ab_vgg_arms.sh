@@ -16,7 +16,7 @@ run_arm() {
 }
 
 run_arm ab_nopercep ab_nopercep.yml
-run_arm ab_vgg_s0 dtu_shaped_p300.yml
+run_arm ab_vgg_s0 ab_vgg_s0.yml
 run_arm ab_vgg_s1 ab_vggseed1.yml
 
 echo "=== summary ==="
