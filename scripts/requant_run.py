@@ -45,6 +45,7 @@ def main():
     model, params, _ = load_model_from_checkpoint(
         run_dir / args.ckpt, dataset.img_size
     )
+    model.set_camera(dataset.K[0])  # builds the renderer family
     scores = evaluate_run(
         model, params, test_loader, dataset, run_dir, quali=False
     )
