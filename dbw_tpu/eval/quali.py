@@ -80,6 +80,21 @@ def qualitative_eval(model, params, loader, path, NV=240, n_views=10,
     def render_syn_s(blocks, R, T):
         return model.renderer_light.render(blocks, R, T)[..., :3]
 
+    # trajectory-video programs return uint8: the frames only ever feed the
+    # video encoder, and the D2H pull through the axon tunnel is 4x smaller
+    # (240 frames x 2 streams per view at DTU res is the bulk of the final
+    # eval's transfer volume)
+    def _to_u8(img):
+        return (jnp.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+
+    @aot_jit(label="quali_render_u8")
+    def render_u8_s(scene, R, T):
+        return _to_u8(model.renderer_viz.render(scene, R, T)[..., :3])
+
+    @aot_jit(label="quali_render_syn_u8")
+    def render_syn_u8_s(blocks, R, T):
+        return _to_u8(model.renderer_light.render(blocks, R, T)[..., :3])
+
     # jitted edge overlays: the previous eager calls paid per-op dispatch
     # through the axon tunnel at 16x supersampled shapes
     @aot_jit(label="quali_edges")
@@ -94,6 +109,8 @@ def qualitative_eval(model, params, loader, path, NV=240, n_views=10,
 
     render = lambda R, T: render_s(scene, R, T)
     render_syn = lambda R, T: render_syn_s(syn_blocks, R, T)
+    render_u8 = lambda R, T: render_u8_s(scene, R, T)
+    render_syn_u8 = lambda R, T: render_syn_u8_s(syn_blocks, R, T)
 
     R_traj, T_traj = get_circle_traj(N_views=NV)
 
@@ -133,9 +150,9 @@ def qualitative_eval(model, params, loader, path, NV=240, n_views=10,
             if render_videos and count + k < n_traj:  # trajectory videos
                 R_v = jnp.einsum("ij,njk->nik", R[0], R_traj)
                 T_v = jnp.broadcast_to(T[0], (NV, 3))
-                frames = _render_batched(render, R_v, T_v)
+                frames = _render_batched(render_u8, R_v, T_v)
                 save_video(frames, path / f"{i}_rec_traj.mp4")
-                frames = _render_batched(render_syn, R_v, T_v)
+                frames = _render_batched(render_syn_u8, R_v, T_v)
                 save_video(frames, path / f"{i}_rec_traj_syn.mp4")
         count += B
     return None
@@ -143,16 +160,21 @@ def qualitative_eval(model, params, loader, path, NV=240, n_views=10,
 
 def _render_batched(render_fn, R, T, chunk=10):
     """Render a long trajectory in fixed-size chunks (reference
-    renderer.py:357-365 renders by batches of 10 to bound memory)."""
+    renderer.py:357-365 renders by batches of 10 to bound memory).
+
+    All chunks are dispatched before any is pulled: JAX dispatch is async,
+    so the device renders back-to-back while the host drains earlier
+    chunks — a synchronous render->pull loop leaves the chip idle for
+    every D2H round-trip (100s of ms each through the axon tunnel). The
+    in-flight outputs are small (chunk x H x W x C post-pooling)."""
     n = len(R)
-    out = []
+    futs = []
     for k in range(0, n, chunk):
         Rc, Tc = R[k : k + chunk], T[k : k + chunk]
         pad = chunk - len(Rc)
         if pad:
             Rc = jnp.concatenate([Rc, jnp.repeat(Rc[-1:], pad, 0)])
             Tc = jnp.concatenate([Tc, jnp.repeat(Tc[-1:], pad, 0)])
-        imgs = np.asarray(render_fn(Rc, Tc))
-        out.append(imgs[: chunk - pad if pad else chunk])
-    return np.concatenate(out)
+        futs.append((render_fn(Rc, Tc), chunk - pad if pad else chunk))
+    return np.concatenate([np.asarray(f)[:take] for f, take in futs])
 

@@ -27,10 +27,11 @@ def get_rotated_views_traj(n_views=50, elev=30.0, dist=2.732):
 
 
 def render_rotated_views(renderer, scene, n_views=50, elev=30.0, dist=2.5,
-                         R=None, T=None, chunk=10):
+                         R=None, T=None, chunk=10, out_u8=False):
     """Turntable renders of a scene (reference renderer.py:290-330): batches
     of `chunk` views to bound memory; optional base pose composed with the
-    turntable. Returns (n_views, H, W, 4) numpy."""
+    turntable. Returns (n_views, H, W, 4) numpy (uint8 when out_u8 — 4x
+    smaller D2H pulls for frames that only feed a video encoder)."""
     import jax
     import jax.numpy as jnp
 
@@ -46,25 +47,35 @@ def render_rotated_views(renderer, scene, n_views=50, elev=30.0, dist=2.5,
     # jax.jit wrapper per call would recompile every invocation, and a
     # scene baked in as closure constants would change the HLO (and the
     # AOT executable-cache key) every call
-    render = getattr(renderer, "_traj_render_fn", None)
+    attr = "_traj_render_u8_fn" if out_u8 else "_traj_render_fn"
+    render = getattr(renderer, attr, None)
     if render is None:
         from ..utils.aot_cache import aot_jit
 
-        render = aot_jit(
-            lambda s, r, t: renderer.render(s, r, t), label="traj_render"
-        )
-        renderer._traj_render_fn = render
+        if out_u8:
+            render = aot_jit(
+                lambda s, r, t: (
+                    jnp.clip(renderer.render(s, r, t), 0.0, 1.0) * 255.0 + 0.5
+                ).astype(jnp.uint8),
+                label="traj_render_u8",
+            )
+        else:
+            render = aot_jit(
+                lambda s, r, t: renderer.render(s, r, t), label="traj_render"
+            )
+        setattr(renderer, attr, render)
     render = partial(render, scene)
-    out = []
+    # dispatch every chunk before pulling any (async dispatch: the device
+    # renders back-to-back while the host drains earlier chunks)
+    futs = []
     for k in range(0, n_views, chunk):
         Rc, Tc = R_t[k : k + chunk], T_t[k : k + chunk]
         pad = chunk - len(Rc)
         if pad:
             Rc = jnp.concatenate([Rc, jnp.repeat(Rc[-1:], pad, 0)])
             Tc = jnp.concatenate([Tc, jnp.repeat(Tc[-1:], pad, 0)])
-        imgs = np.asarray(render(Rc, Tc))
-        out.append(imgs[: len(imgs) - pad if pad else chunk])
-    return np.concatenate(out)
+        futs.append((render(Rc, Tc), chunk - pad if pad else chunk))
+    return np.concatenate([np.asarray(f)[:take] for f, take in futs])
 
 
 def save_mesh_as_video(renderer, scene, filename, n_views=240, elev=30.0,
@@ -72,7 +83,8 @@ def save_mesh_as_video(renderer, scene, filename, n_views=240, elev=30.0,
     """Turntable video of a scene (reference renderer.py:390-394)."""
     from ..utils.image import save_video
 
-    frames = render_rotated_views(renderer, scene, n_views, elev, dist)
+    frames = render_rotated_views(renderer, scene, n_views, elev, dist,
+                                  out_u8=True)
     save_video(frames[..., :3], filename)
 
 

@@ -277,3 +277,40 @@ class TestShadingTypesAndRegistries:
     def test_unknown_light_raises(self):
         with pytest.raises(NotImplementedError, match="light"):
             self._model(dict(faces_per_pixel=2, lights=dict(name="area")))
+
+
+class TestTrajectoryRenders:
+    def test_rotated_views_u8_matches_f32(self):
+        # out_u8 returns the same frames as the f32 path up to quantization;
+        # chunked dispatch (incl. a ragged tail: 7 views, chunk 3) must
+        # cover every view exactly once
+        from dbw_tpu.render.trajectory import render_rotated_views
+
+        cfg = RendererConfig(image_size=(16, 16), faces_per_pixel=1,
+                             sigma=0.0)
+        rend = Renderer(cfg, fov_cam())
+        scene = tri_scene([[0.0, 1.0, 2.0], [-1.0, -1.0, 2.0], [1.0, -1.0, 2.0]])
+        f32 = render_rotated_views(rend, scene, n_views=7, dist=2.0, chunk=3)
+        u8 = render_rotated_views(rend, scene, n_views=7, dist=2.0, chunk=3,
+                                  out_u8=True)
+        assert f32.shape == (7, 16, 16, 4) and u8.shape == (7, 16, 16, 4)
+        assert u8.dtype == np.uint8
+        exp = (np.clip(f32, 0, 1) * 255.0 + 0.5).astype(np.uint8)
+        np.testing.assert_array_equal(u8, exp)
+
+    def test_render_batched_pipelined_matches_direct(self):
+        # _render_batched dispatches every chunk before pulling any; the
+        # result must equal one direct batched render (ragged tail incl.)
+        from dbw_tpu.eval.quali import _render_batched
+        from dbw_tpu.render.trajectory import get_circle_traj
+
+        cfg = RendererConfig(image_size=(16, 16), faces_per_pixel=1,
+                             sigma=0.0)
+        rend = Renderer(cfg, fov_cam())
+        scene = tri_scene([[0.0, 1.0, 2.0], [-1.0, -1.0, 2.0], [1.0, -1.0, 2.0]])
+        R, T = get_circle_traj(dist=2.0, N_views=5)
+        R, T = jnp.asarray(R), jnp.asarray(T)
+        fn = lambda r, t: rend.render(scene, r, t)
+        out = _render_batched(fn, R, T, chunk=2)
+        direct = np.asarray(fn(R, T))
+        np.testing.assert_allclose(out, direct, atol=1e-6)
