@@ -60,8 +60,8 @@ if __name__ == "__main__":
     )
     model.set_camera(ds.K[0])
     NV = 4
-    R = jnp.asarray(np.stack([np.asarray(ds[i][0]["R"]) for i in range(NV)]))
-    T = jnp.asarray(np.stack([np.asarray(ds[i][0]["T"]) for i in range(NV)]))
+    R = jnp.asarray(ds.R[:NV])
+    T = jnp.asarray(ds.T[:NV])
     phase = model.phase_for_epoch(int(cfg["training"]["n_epoches"]) - 1,
                                   training=False)
     key = jax.random.PRNGKey(0)
