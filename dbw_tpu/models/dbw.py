@@ -670,21 +670,30 @@ class BlocksWorld:
     # prediction
     # ------------------------------------------------------------------
 
-    def predict(self, params: SceneParams, phase: Phase, R, T, key=None):
+    def predict(self, params: SceneParams, phase: Phase, R, T, key=None,
+                row_range=None):
         """Render B views (decoupled env/blocks compositing when configured,
         reference dbw.py:202-239). R: (B, 3, 3), T: (B, 3).
 
-        Returns (rec (B, H, W, 3), aux)."""
+        Returns (rec (B, H, W, 3), aux). ``row_range=(row0, Hb)`` renders
+        only the Hb-row pixel band at traced offset row0 — the spatial axis
+        of the sharded trainers (parallel/seeds.py)."""
         if self.decouple_rendering:
             env, env_raws = self.build_env(params, phase)
-            rec_env = self.renderer_env.render(env, R, T)[..., :3]
+            rec_env = self.renderer_env.render(
+                env, R, T, row_range=row_range
+            )[..., :3]
             blocks, aux = self.build_blocks(params, phase, key=key)
-            rgba = self.renderer.render(blocks, R, T, sigma=phase.sigma)
+            rgba = self.renderer.render(
+                blocks, R, T, sigma=phase.sigma, row_range=row_range
+            )
             rec_fg, mask = rgba[..., :3], rgba[..., 3:]
             rec = rec_fg * mask + (1.0 - mask) * rec_env
         else:
             scene, aux, env_raws = self.build_scene(params, phase, key=key)
-            rgba = self.renderer.render(scene, R, T, sigma=phase.sigma)
+            rgba = self.renderer.render(
+                scene, R, T, sigma=phase.sigma, row_range=row_range
+            )
             rec = rgba[..., :3]
         aux["env_raw_maps"] = env_raws
         return rec, aux
@@ -795,10 +804,21 @@ class BlocksWorld:
         losses["total"] = sum(losses.values())
         return losses
 
-    def forward(self, params, phase, imgs, R, T, key):
-        """predict + losses (reference dbw.py:198-200)."""
+    def forward(self, params, phase, imgs, R, T, key, row_range=None,
+                rec_gather=None):
+        """predict + losses (reference dbw.py:198-200).
+
+        Pixel-band sharding hooks (parallel/seeds.py): with ``row_range``
+        the render covers only this device's row band; ``rec_gather``
+        (e.g. a tiled lax.all_gather over the spatial mesh axis + crop)
+        reassembles the full (B, H, W, 3) reconstruction the cross-pixel
+        losses (SSIM / perceptual convs) need. Gradients flow back through
+        the gather (transpose: psum_scatter) into the band render."""
         k1, k2 = jax.random.split(key)
-        rec, aux = self.predict(params, phase, R, T, key=k1)
+        rec, aux = self.predict(params, phase, R, T, key=k1,
+                                row_range=row_range)
+        if rec_gather is not None:
+            rec = rec_gather(rec)
         return self.compute_losses(imgs, rec, params, phase, aux, key=k2)
 
     # ------------------------------------------------------------------

@@ -28,9 +28,21 @@ def factor_devices(n, n_seeds=None):
     return n, 1  # more seeds than devices: caller batches seeds per slot
 
 
-def make_mesh(n_seed=None, n_data=None, devices=None, n_seeds=None):
+def make_mesh(n_seed=None, n_data=None, devices=None, n_seeds=None,
+              n_spatial=1):
+    """(seed, data[, sp]) mesh. ``n_spatial`` > 1 adds the pixel-band axis
+    (each sp device renders H/n_spatial image rows, parallel/seeds.py) as a
+    trailing mesh dim — innermost so band all_gathers ride the fastest ICI
+    links. The axis is only materialized when used, keeping 2-axis
+    programs' specs and tests unchanged."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
+    if n_spatial > 1:
+        if n % n_spatial:
+            raise ValueError(
+                f"n_spatial={n_spatial} does not divide {n} devices"
+            )
+        n = n // n_spatial
     if n_seed is None and n_data is None:
         n_seed, n_data = factor_devices(n, n_seeds=n_seeds)
     elif n_seed is None:  # one axis given: derive the other, don't discard
@@ -42,5 +54,8 @@ def make_mesh(n_seed=None, n_data=None, devices=None, n_seeds=None):
             raise ValueError(f"n_seed={n_seed} does not divide {n} devices")
         n_data = n // n_seed
     assert n_seed * n_data == n, (n_seed, n_data, n)
+    if n_spatial > 1:
+        arr = np.asarray(devices).reshape(n_seed, n_data, n_spatial)
+        return Mesh(arr, ("seed", "data", "sp"))
     arr = np.asarray(devices).reshape(n_seed, n_data)
     return Mesh(arr, ("seed", "data"))

@@ -94,7 +94,7 @@ def select_best_seed(stacked_params, losses, n_valid=None):
 
 
 class MultiSeedRunner:
-    """Compiles and runs the seed x data sharded train step."""
+    """Compiles and runs the (seed, data[, sp]) sharded train step."""
 
     def __init__(self, model, optimizer, mesh):
         self.model = model
@@ -102,6 +102,7 @@ class MultiSeedRunner:
         self.mesh = mesh
         self.n_seed_devices = mesh.shape["seed"]
         self.n_data = mesh.shape["data"]
+        self.n_spatial = dict(mesh.shape).get("sp", 1)
         self._step = self._build_step()
         self._multi = self._build_multi_step()
         self._step_idx = self._build_step_idx()
@@ -109,16 +110,43 @@ class MultiSeedRunner:
 
     def _per_seed(self):
         model, optimizer = self.model, self.optimizer
+        n_sp = self.n_spatial
+        # gradients reduce over every non-seed axis: data shards views,
+        # sp shards pixel rows within each view shard
+        red_axes = ("data", "sp") if n_sp > 1 else "data"
+        if n_sp > 1:
+            H = model.img_size[0]
+            Hb = -(-H // n_sp)  # band height (last band may overhang; the
+            #                     gathered image is cropped back to H rows)
 
         def per_seed(params, opt_state, imgs, R, T, phase, lrs, key):
             def loss_fn(p):
-                losses = model.forward(p, phase, imgs, R, T, key)
+                if n_sp > 1:
+                    # pixel-band sharding: render ONLY this device's rows;
+                    # all_gather the (tiny) band images so the cross-pixel
+                    # losses see the full frame. The gather's transpose
+                    # (psum_scatter) routes each band's loss cotangent back
+                    # to the device that rendered it; pmean over sp then
+                    # sums the per-band parameter gradients exactly (each
+                    # device's grad is n_sp x its band's true contribution).
+                    row0 = (
+                        jax.lax.axis_index("sp") * Hb
+                    ).astype(jnp.float32)
+                    gather = lambda rec: jax.lax.all_gather(
+                        rec, "sp", axis=1, tiled=True
+                    )[:, :H]
+                    losses = model.forward(
+                        p, phase, imgs, R, T, key,
+                        row_range=(row0, Hb), rec_gather=gather,
+                    )
+                else:
+                    losses = model.forward(p, phase, imgs, R, T, key)
                 return losses["total"], losses
 
             grads, losses = jax.grad(loss_fn, has_aux=True)(params)
-            grads = jax.lax.pmean(grads, "data")
+            grads = jax.lax.pmean(grads, red_axes)
             losses = jax.tree_util.tree_map(
-                lambda l: jax.lax.pmean(l, "data"), losses
+                lambda l: jax.lax.pmean(l, red_axes), losses
             )
             updates, opt_state = optimizer.update(grads, opt_state, lrs)
             params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)

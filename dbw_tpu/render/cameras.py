@@ -56,16 +56,27 @@ def view_to_ndc(v_view, cam: Camera, eps=1e-8):
     return jnp.stack([x, y, z], axis=-1)
 
 
-def ndc_pixel_centers(image_size: Tuple[int, int], dtype=jnp.float32):
-    """NDC coordinates of all pixel centers: returns (H, W) arrays x, y."""
+def ndc_pixel_centers(image_size: Tuple[int, int], dtype=jnp.float32,
+                      row_range=None):
+    """NDC coordinates of all pixel centers: returns (H, W) arrays x, y.
+
+    ``row_range=(row0, Hb)`` restricts to the Hb rows starting at row0
+    (row0 may be a traced scalar — used by the spatial/pixel-band sharding
+    of the render, parallel/seeds.py): the NDC scale stays that of the
+    FULL image, so band pixels get bit-identical coordinates."""
     H, W = image_size
     s = min(H, W)
     j = jnp.arange(W, dtype=dtype)
-    i = jnp.arange(H, dtype=dtype)
+    if row_range is not None:
+        row0, Hb = row_range
+        i = jnp.asarray(row0, dtype) + jnp.arange(Hb, dtype=dtype)
+    else:
+        Hb = H
+        i = jnp.arange(H, dtype=dtype)
     x = (W - 1.0 - 2.0 * j) / s  # +x at column 0 (left)
     y = (H - 1.0 - 2.0 * i) / s  # +y at row 0 (top)
     return jnp.meshgrid(x, y, indexing="xy")[0], jnp.broadcast_to(
-        y[:, None], (H, W)
+        y[:, None], (Hb, W)
     )
 
 

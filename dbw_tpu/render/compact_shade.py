@@ -148,7 +148,8 @@ _seg_blend.defvjp(_seg_blend_fwd, _seg_blend_bwd)
 # the full compacted pipeline
 
 def _shade_compacted(M, dynT, p2f_flat, skey, counts_pix, sigma, flags,
-                     maps_flat, TWt, ambient, background_color, dims, F):
+                     maps_flat, TWt, ambient, background_color, dims, F,
+                     full_h_row0):
     """One ladder branch: shade the first M compacted fragments.
 
     Only entered when the total valid count <= M (lax.switch predicate), so
@@ -167,13 +168,17 @@ def _shade_compacted(M, dynT, p2f_flat, skey, counts_pix, sigma, flags,
     ids_c = jnp.where(valid_c, face + view * F, 0)
     vld_f = valid_c.astype(jnp.float32)
 
-    # pixel NDC centers: closed-form from the fragment index (no gathers)
+    # pixel NDC centers: closed-form from the fragment index (no gathers).
+    # Under pixel-band sharding Hs is the BAND height; the NDC scale and
+    # row offset come from the full image (full_h_row0) so band fragments
+    # shade bit-identically to the full-frame path.
+    Hf, row0 = full_h_row0
     pix = (oidx // K) % (Hs * Ws)
-    prow = pix // Ws
+    prow = jnp.asarray(row0, jnp.float32) + (pix // Ws).astype(jnp.float32)
     pcol = pix % Ws
-    s = min(Hs, Ws)
+    s = min(Hf, Ws)
     px = (Ws - 1.0 - 2.0 * pcol.astype(jnp.float32)) / s
-    py = (Hs - 1.0 - 2.0 * prow.astype(jnp.float32)) / s
+    py = (Hf - 1.0 - 2.0 * prow) / s
 
     id00, wx, wy, alpha = fused_fragment_shade(
         dynT, ids_c, vld_f, px, py, sigma, flags
@@ -206,10 +211,14 @@ def _shade_compacted(M, dynT, p2f_flat, skey, counts_pix, sigma, flags,
 
 
 def compact_fragment_shade(dynT, p2f_b, sigma, flags, maps_flat, TWt,
-                           ambient, background_color, F, dense_fn):
+                           ambient, background_color, F, dense_fn,
+                           full_h_row0=None):
     """Compacted replacement for gather+shade+blend of the flat-fused
     training path. dense_fn() is the unmodified dense pipeline, used as the
-    last-resort ladder branch (identical outputs, never dropped work)."""
+    last-resort ladder branch (identical outputs, never dropped work).
+
+    full_h_row0=(H_full, row0): pixel-band sharding — p2f_b is the band of
+    rows [row0, row0 + Hs) of an H_full-tall image (see renderer.render)."""
     try:
         from jax._src.interpreters.batching import BatchTracer
     except ImportError:  # pragma: no cover - jax internals moved
@@ -223,6 +232,8 @@ def compact_fragment_shade(dynT, p2f_b, sigma, flags, maps_flat, TWt,
 
     B, Hs, Ws, K = p2f_b.shape
     dims = (B, Hs, Ws, K)
+    if full_h_row0 is None:
+        full_h_row0 = (Hs, 0.0)
     NB = B * Hs * Ws * K
     p2f_flat = p2f_b.reshape(NB)
     vld = p2f_flat >= 0
@@ -249,6 +260,7 @@ def compact_fragment_shade(dynT, p2f_b, sigma, flags, maps_flat, TWt,
         return lambda: _shade_compacted(
             M, dynT, p2f_flat, skey, counts_pix, sigma, flags,
             maps_flat, TWt, ambient, background_color, dims, F,
+            full_h_row0,
         )
 
     # Every branch is rematerialized: lax.switch AD otherwise UNIONS the

@@ -162,10 +162,13 @@ def _score_chunk(px, py, geom: FaceGeom, blur_radius, cfg: RasterConfig):
     return jnp.where(ok, z, BIG)
 
 
-def _rasterize_xla(geom: FaceGeom, blur_radius, cfg: RasterConfig):
+def _rasterize_xla(geom: FaceGeom, blur_radius, cfg: RasterConfig,
+                   row_range=None):
     H, W = cfg.image_size
+    if row_range is not None:
+        H = row_range[1]  # band height; NDC scale stays full-image
     K = cfg.faces_per_pixel
-    gx, gy = ndc_pixel_centers(cfg.image_size)
+    gx, gy = ndc_pixel_centers(cfg.image_size, row_range=row_range)
     px, py = gx.reshape(-1), gy.reshape(-1)
 
     rows = cfg.row_chunk * W
@@ -188,13 +191,17 @@ def _rasterize_xla(geom: FaceGeom, blur_radius, cfg: RasterConfig):
     return p2f.reshape(-1, K)[: H * W].reshape(H, W, K)
 
 
-def rasterize(geom: FaceGeom, blur_radius, cfg: RasterConfig):
+def rasterize(geom: FaceGeom, blur_radius, cfg: RasterConfig, row_range=None):
     """Top-K face selection for one view: (H, W, K) int32 ``pix_to_face``
-    (-1 = no face), sorted near-to-far. Non-differentiable by construction."""
+    (-1 = no face), sorted near-to-far. Non-differentiable by construction.
+
+    ``row_range=(row0, Hb)``: rasterize only the Hb-row band starting at
+    row0 (traced ok) of the full image — (Hb, W, K), bit-identical to the
+    corresponding rows of the full raster (pixel-band sharding)."""
     geom = jax.tree_util.tree_map(lax.stop_gradient, geom)
     blur_radius = lax.stop_gradient(blur_radius)
     if cfg.backend == "pallas":
         from .rasterize_pallas import rasterize_pallas
 
-        return rasterize_pallas(geom, blur_radius, cfg)
-    return _rasterize_xla(geom, blur_radius, cfg)
+        return rasterize_pallas(geom, blur_radius, cfg, row_range=row_range)
+    return _rasterize_xla(geom, blur_radius, cfg, row_range=row_range)

@@ -100,6 +100,9 @@ def _kernel(scalars_ref, faces_ref, out_ref, keys_ref, idxs_ref, *, K, KS,
     blur = scalars_ref[0]
     inflate = scalars_ref[1]  # sqrt(blur): bbox inflation in NDC units
     s_inv = scalars_ref[2]    # 1 / min(H, W)
+    row0 = scalars_ref[3]     # first image row of this raster (pixel-band
+    #                           sharding; 0 for a full-image raster). Traced,
+    #                           so one compiled program serves every band.
     pt = th * tw
 
     ti = pl.program_id(1)
@@ -111,18 +114,20 @@ def _kernel(scalars_ref, faces_ref, out_ref, keys_ref, idxs_ref, *, K, KS,
     def do_tile(g, _):
         tj = tjc * coarsen + g
 
-        row = ti * th + lin // tw
+        # row0 + band-local row: exact integer-valued f32 arithmetic, so a
+        # band raster's py is BITWISE the full raster's at the same row
+        row = row0 + (ti * th + lin // tw).astype(jnp.float32)
         col = tj * tw + lin % tw
         px = (W - 1.0 - 2.0 * col.astype(jnp.float32)) * s_inv
-        py = (H - 1.0 - 2.0 * row.astype(jnp.float32)) * s_inv
+        py = (H - 1.0 - 2.0 * row) * s_inv
 
         # tile bbox in NDC (+x at column 0, +y at row 0)
         tjf = tj.astype(jnp.float32)
-        tif = ti.astype(jnp.float32)
+        tif = row0 + ti.astype(jnp.float32) * th
         tile_xmax = (W - 1.0 - 2.0 * (tjf * tw)) * s_inv + inflate
         tile_xmin = (W - 1.0 - 2.0 * (tjf * tw + tw - 1)) * s_inv - inflate
-        tile_ymax = (H - 1.0 - 2.0 * (tif * th)) * s_inv + inflate
-        tile_ymin = (H - 1.0 - 2.0 * (tif * th + th - 1)) * s_inv - inflate
+        tile_ymax = (H - 1.0 - 2.0 * tif) * s_inv + inflate
+        tile_ymin = (H - 1.0 - 2.0 * (tif + th - 1)) * s_inv - inflate
 
         keys_ref[:] = jnp.full((pt, KS), BIG, jnp.float32)
         idxs_ref[:] = jnp.full((pt, KS), -1, jnp.int32)
@@ -319,15 +324,24 @@ def _tile_for(K, hard=False):
     return TH, TW, 128
 
 
-def rasterize_pallas_batched(packed_faces, blur_radius, cfg, hard=None):
+def rasterize_pallas_batched(packed_faces, blur_radius, cfg, hard=None,
+                             row_range=None):
     """packed_faces: (B, A_PAD, F_pad). Returns pix_to_face (B, H, W, K).
 
     hard: statically-known blur == 0 (the hard/env renderer config) ->
     compile the coverage-is-inside specialization (skips the 3 segment
     distances). Callers with a config-constant sigma pass this; otherwise
-    it is inferred only when blur_radius is a concrete scalar."""
+    it is inferred only when blur_radius is a concrete scalar.
+
+    row_range=(row0, Hb): rasterize only the Hb-row band starting at image
+    row row0 (row0 may be traced — the pixel-band sharding passes each
+    device's lax.axis_index-derived offset through ONE compiled program).
+    Output is (B, Hb, W, K), bitwise the full raster's rows [row0, row0+Hb)
+    (NDC pixel math stays in full-image coordinates)."""
     B, _, F_pad = packed_faces.shape
     H, W = cfg.image_size
+    Hb = H if row_range is None else int(row_range[1])
+    row0 = 0.0 if row_range is None else row_range[0]
     K = cfg.faces_per_pixel
     if hard is None:
         try:  # concrete (python/np scalar or committed Array) blur only
@@ -339,7 +353,7 @@ def rasterize_pallas_batched(packed_faces, blur_radius, cfg, hard=None):
     th, tw, KS = _tile_for(K, hard)
     pt = th * tw
     assert K <= KS
-    n_th = -(-H // th)
+    n_th = -(-Hb // th)
     n_tw = -(-W // tw)
     G = _sel_coarsen(K, hard)
     n_twg = -(-n_tw // G)      # coarse grid columns (G tiles / program)
@@ -354,7 +368,8 @@ def rasterize_pallas_batched(packed_faces, blur_radius, cfg, hard=None):
 
     blur = jnp.asarray(blur_radius, jnp.float32)
     scalars = jnp.stack(
-        [blur, jnp.sqrt(jnp.maximum(blur, 0.0)), jnp.float32(1.0 / s)]
+        [blur, jnp.sqrt(jnp.maximum(blur, 0.0)), jnp.float32(1.0 / s),
+         jnp.asarray(row0, jnp.float32)]
     )
 
     kernel = functools.partial(
@@ -392,10 +407,12 @@ def rasterize_pallas_batched(packed_faces, blur_radius, cfg, hard=None):
     out = out.transpose(0, 1, 4, 2, 3, 5, 6).reshape(
         B, n_th * th, n_tw * tw, K
     )
-    return out[:, :H, :W]
+    return out[:, :Hb, :W]
 
 
-def rasterize_pallas(geom, blur_radius, cfg):
+def rasterize_pallas(geom, blur_radius, cfg, row_range=None):
     """Single-view entry matching rasterize.rasterize's contract."""
     packed = pack_faces(geom)[None]
-    return rasterize_pallas_batched(packed, blur_radius, cfg)[0]
+    return rasterize_pallas_batched(
+        packed, blur_radius, cfg, row_range=row_range
+    )[0]

@@ -93,11 +93,17 @@ class Renderer:
         sigma = jnp.asarray(cfg.sigma if sigma is None else sigma, jnp.float32)
         return sigma, jnp.float32(cfg.blur_radius_factor) * sigma
 
-    def _shade_from_p2f(self, scene, geom, p2f, R, sigma):
+    def _shade_from_p2f(self, scene, geom, p2f, R, sigma, row_range=None):
         """Differentiable stage: interpolate + shade + blend one view."""
         cfg = self.config
         if cfg.shading == "raw":
-            return self._shade_fused(scene, geom, p2f, sigma)
+            return self._shade_fused(scene, geom, p2f, sigma,
+                                     row_range=row_range)
+        if row_range is not None:
+            raise NotImplementedError(
+                "row_range (pixel-band sharding) supports raw shading only "
+                "— the training renderers; lit shading is viz-only"
+            )
         # lit shading types run the FLAT-layout stage 2: the (H, W, K, 3, 2)
         # tensors of the naive modular path tile-pad up to 64x on TPU and
         # OOM at 4x-supersampled viz scale (see interpolate.py)
@@ -174,12 +180,16 @@ class Renderer:
             img = _avg_pool_2d(img, cfg.supersample)
         return img
 
-    def _shade_fused(self, scene: MeshScene, geom, p2f, sigma):
+    def _shade_fused(self, scene: MeshScene, geom, p2f, sigma,
+                     row_range=None):
         """Single-view wrapper over the batched fused shading path."""
         geom_b = jax.tree_util.tree_map(lambda x: x[None], geom)
-        return self._shade_fused_batched(scene, geom_b, p2f[None], sigma)[0]
+        return self._shade_fused_batched(
+            scene, geom_b, p2f[None], sigma, row_range=row_range
+        )[0]
 
-    def _shade_fused_batched(self, scene: MeshScene, geom_b, p2f_b, sigma):
+    def _shade_fused_batched(self, scene: MeshScene, geom_b, p2f_b, sigma,
+                             row_range=None):
         """TPU-optimized raw-shading path, batched over views.
 
         Design rules (learned the hard way — see BENCH_NOTES.md):
@@ -204,10 +214,18 @@ class Renderer:
         cfg = self.config
         rcfg = cfg.raster_config()
         Hs, Ws = rcfg.image_size
+        # pixel-band sharding: p2f_b holds the Hb-row band starting at image
+        # row row0 (traced); all pixel NDC math stays in FULL-image (Hs, Ws)
+        # coordinates so band fragments shade bit-identically to full-frame
+        if row_range is not None:
+            assert cfg.supersample == 1, "row_range: training renderers only"
+            row0, Hb = row_range[0], int(row_range[1])
+        else:
+            row0, Hb = 0.0, Hs
         K = rcfg.faces_per_pixel
         B = p2f_b.shape[0]
         F = scene.faces.shape[0]
-        N = Hs * Ws * K
+        N = Hb * Ws * K
 
         # ONE combined per-face table: gradient-carrying dynamic columns
         # first (xy 6, z 3, face alpha 1, 2 pad), then gradient-free static
@@ -253,14 +271,15 @@ class Renderer:
         fill_flat = jnp.broadcast_to(fill, p2f_b.shape).reshape(B * N)
         dyn_idx = jnp.where(p2f_flat >= 0, p2f_flat, fill_flat) + view_off
 
-        # pixel NDC centers per fragment (pure index math, no gathers)
+        # pixel NDC centers per fragment (pure index math, no gathers);
+        # row0 + band-local row is exact integer-valued f32 arithmetic
         n_idx = jnp.arange(B * N, dtype=jnp.int32) % N
         pix = n_idx // K
-        row = pix // Ws
+        row = jnp.asarray(row0, jnp.float32) + (pix // Ws).astype(jnp.float32)
         col = pix % Ws
         s = min(Hs, Ws)
         px = (Ws - 1.0 - 2.0 * col.astype(jnp.float32)) / s
-        py = (Hs - 1.0 - 2.0 * row.astype(jnp.float32)) / s
+        py = (Hs - 1.0 - 2.0 * row) / s
 
         from .meshes import _sample_quad, _texel_mode
         from .fragment_fused import (
@@ -298,8 +317,8 @@ class Renderer:
                 if cfg.ambient_color is not None:
                     colors = colors * jnp.asarray(cfg.ambient_color)
                 return layered_blend(
-                    colors.reshape(B, Hs, Ws, K, 3),
-                    alpha.reshape(B, Hs, Ws, K), cfg.background_color,
+                    colors.reshape(B, Hb, Ws, K, 3),
+                    alpha.reshape(B, Hb, Ws, K), cfg.background_color,
                 )
 
             from .compact_shade import (
@@ -312,6 +331,7 @@ class Renderer:
                 img = compact_fragment_shade(
                     dynT, p2f_b, sigma_f, flags, maps_flat, TWt,
                     cfg.ambient_color, cfg.background_color, F, dense_img,
+                    full_h_row0=(Hs, row0),
                 )
             else:
                 img = dense_img()
@@ -394,7 +414,7 @@ class Renderer:
             soft_a = jax.nn.sigmoid(-dists / jnp.maximum(sigma, 1e-20))
         hard_a = (dists <= 0.0).astype(jnp.float32)
         alpha = jnp.where(sigma == 0.0, hard_a, soft_a) * valid * face_alpha
-        return self._blend_tail(colors, alpha, B, Hs, Ws, K)
+        return self._blend_tail(colors, alpha, B, Hb, Ws, K)
 
     def _blend_tail(self, colors, alpha, B, Hs, Ws, K):
         """Shared tail of the fused shading paths: ambient scale + layered
@@ -415,7 +435,7 @@ class Renderer:
             img = jax.vmap(lambda im: _avg_pool_2d(im, cfg.supersample))(img)
         return img
 
-    def render_view(self, scene: MeshScene, R, T, sigma=None):
+    def render_view(self, scene: MeshScene, R, T, sigma=None, row_range=None):
         """Render one view -> (H, W, 4) RGBA in [0, 1]."""
         cfg = self.config
         rcfg = cfg.raster_config()
@@ -423,15 +443,23 @@ class Renderer:
         geom = project_faces(
             scene.verts, scene.faces, R, T, self.camera, z_clip=cfg.z_clip
         )
-        p2f = rasterize(geom, blur, rcfg)
-        return self._shade_from_p2f(scene, geom, p2f, R, sigma)
+        p2f = rasterize(geom, blur, rcfg, row_range=row_range)
+        return self._shade_from_p2f(scene, geom, p2f, R, sigma,
+                                    row_range=row_range)
 
-    def render(self, scene: MeshScene, R, T, sigma=None):
+    def render(self, scene: MeshScene, R, T, sigma=None, row_range=None):
         """Batched over views: R (B, 3, 3), T (B, 3) -> (B, H, W, 4).
 
         On the pallas backend the selection kernel runs ONCE over the whole
         view batch (views are a grid axis), then the differentiable stage
-        vmaps per view."""
+        vmaps per view.
+
+        ``row_range=(row0, Hb)`` renders only the Hb-row pixel band starting
+        at image row row0 (traced ok) -> (B, Hb, W, 4), bit-identical to the
+        corresponding rows of a full render. This is the spatial axis of the
+        sharded trainers (parallel/seeds.py): each device renders its band,
+        the (tiny) band images are all_gathered for the cross-pixel losses,
+        and gradients psum back through the gather."""
         cfg = self.config
         if cfg.backend == "pallas":
             from .rasterize_pallas import pack_faces, rasterize_pallas_batched
@@ -453,20 +481,31 @@ class Renderer:
             geom_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, geom_b)
             packed = jax.vmap(pack_faces)(geom_sg)
             p2f = rasterize_pallas_batched(
-                packed, jax.lax.stop_gradient(blur), rcfg, hard=hard
+                packed, jax.lax.stop_gradient(blur), rcfg, hard=hard,
+                row_range=row_range,
             )
             if cfg.shading == "raw":
                 # one flat fragment stream across views: the texel-gradient
                 # pipeline runs once, not per view
-                shade = lambda g, p: self._shade_fused_batched(scene, g, p, sigma)
+                shade = lambda g, p: self._shade_fused_batched(
+                    scene, g, p, sigma, row_range=row_range
+                )
                 if REMAT_SHADING:
                     shade = jax.checkpoint(shade)
                 return shade(geom_b, p2f)
+            if row_range is not None:
+                raise NotImplementedError(
+                    "row_range (pixel-band sharding) supports raw shading "
+                    "only — the training renderers"
+                )
             shade = lambda g, p, r: self._shade_from_p2f(scene, g, p, r, sigma)
             if REMAT_SHADING:
                 shade = jax.checkpoint(shade)
             return jax.vmap(shade)(geom_b, p2f, R)
-        return jax.vmap(lambda r, t: self.render_view(scene, r, t, sigma))(R, T)
+        return jax.vmap(
+            lambda r, t: self.render_view(scene, r, t, sigma,
+                                          row_range=row_range)
+        )(R, T)
 
     # -- wireframe overlays ----------------------------------------------
 

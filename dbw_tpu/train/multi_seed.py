@@ -58,7 +58,8 @@ class MultiSeedTrainer:
     XLA then runs each seed's optimization on its own device group with
     zero cross-seed traffic."""
 
-    def __init__(self, cfg, run_dir, seeds, resume=False, n_data=None):
+    def __init__(self, cfg, run_dir, seeds, resume=False, n_data=None,
+                 n_spatial=None):
         """``n_data``: explicit data-axis width (devices sharding the view
         batch; gradients pmean over it). This is the production mode for
         single-scene wall-clock scaling — the seed/scene axes multiply
@@ -66,7 +67,14 @@ class MultiSeedTrainer:
         axis shortens ONE scan's optimization (BASELINE.md north-star):
         ``multi_pipeline.py --seeds 4321 --n-data 8`` trains one seed with
         the B-view batch split over 8 devices. Divisibility is validated
-        loudly (no silent fallback for an explicitly requested axis)."""
+        loudly (no silent fallback for an explicitly requested axis).
+
+        ``n_spatial``: pixel-band axis width — each band device renders
+        H/n_spatial image rows of its seed/view shard and the band images
+        are all_gathered for the cross-pixel losses (parallel/seeds.py).
+        Unlike the data axis this is not capped by the view batch size, so
+        ``--seeds 4321 --n-spatial 8`` puts all 8 devices on ONE scan even
+        at the reference's B=4."""
         self.run_dir = path_mkdir(run_dir)
         self.cfg = cfg
         ckpt = None
@@ -92,12 +100,27 @@ class MultiSeedTrainer:
         if n_data is not None and n_data > 1 and n_dev == 1:
             raise ValueError(
                 f"n_data={n_data} requested but only {n_dev} device present")
+        n_sp = int(n_spatial) if n_spatial else 1
+        if n_sp > 1 and n_dev == 1:
+            raise ValueError(
+                f"n_spatial={n_sp} requested but only {n_dev} device present")
         if n_dev > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from ..parallel.mesh import factor_devices, make_mesh
             from ..parallel.seeds import pad_seeds
 
+            if n_sp > 1:
+                # explicit spatial axis: validate loudly, like n_data
+                if n_dev % n_sp:
+                    raise ValueError(
+                        f"n_spatial={n_sp} does not divide {n_dev} devices")
+                n_dev = n_dev // n_sp
+                if n_data is None and self.n_valid > n_dev:
+                    raise ValueError(
+                        f"n_spatial={n_sp} leaves {n_dev} device group(s) "
+                        f"for {self.n_valid} seeds — reduce seeds or "
+                        f"n_spatial")
             if n_data is not None:
                 # explicit data axis: validate, never silently fall back
                 if n_dev % n_data:
@@ -121,11 +144,12 @@ class MultiSeedTrainer:
                     seed_ax, n_data = n_dev, 1
             slots = -(-self.n_valid // seed_ax) * seed_ax
             self.seeds, self.n_valid = pad_seeds(self.seeds, slots)
-            self._mesh = make_mesh(seed_ax, n_data)
+            self._mesh = make_mesh(seed_ax, n_data, n_spatial=n_sp)
             self._shard = NamedSharding(self._mesh, P("seed"))
             print_log(
-                f"[multi-seed] mesh (seed={seed_ax}, data={n_data}): "
-                f"{self.n_valid} seeds in {slots} slots "
+                f"[multi-seed] mesh (seed={seed_ax}, data={n_data}"
+                + (f", sp={n_sp}" if n_sp > 1 else "")
+                + f"): {self.n_valid} seeds in {slots} slots "
                 f"({slots - self.n_valid} padded)"
             )
         S = len(self.seeds)

@@ -48,6 +48,13 @@ def main():
                    "Single-scene wall-clock scaling = 1 seed + all devices "
                    "on data: `--seeds 4321 --n-data 8`. Requires n_devices "
                    "and batch_size divisible by n-data (validated loudly)")
+    p.add_argument("--n-spatial", type=int, default=None,
+                   help="pixel-band axis width: each band device renders "
+                   "H/n_spatial image rows (band images are all_gathered "
+                   "for the cross-pixel losses; gradients pmean exactly). "
+                   "Not capped by batch_size — `--seeds 4321 --n-spatial 8` "
+                   "puts all 8 devices on ONE scan at the reference's B=4. "
+                   "Composes with --n-data: devices = seed*data*spatial")
     p.add_argument("--resume", action="store_true",
                    help="continue from the run dir's multi_model.pkl")
     p.add_argument("--per-seed-full", action="store_true",
@@ -77,7 +84,7 @@ def main():
     print_log(f"multi_pipeline: seeds={seeds}, run_dir={run_dir}")
 
     trainer = MultiSeedTrainer(cfg, run_dir, seeds, resume=args.resume,
-                               n_data=args.n_data)
+                               n_data=args.n_data, n_spatial=args.n_spatial)
     trainer.run()
     qk = (None if args.n_traj_videos is None
           else dict(n_traj_videos=args.n_traj_videos))
