@@ -76,9 +76,15 @@ def qualitative_eval(model, params, loader, path, NV=240, n_views=10,
     def render_s(scene, R, T):
         return model.renderer_viz.render(scene, R, T)[..., :3]
 
+    # synthetic maps are constant per block -> per-face-constant fast path
+    # (render_faces_flat: raster + two gathers; see renderer.py)
+    syn_face_colors = model.synthetic_face_colors()
+
     @aot_jit(label="quali_render_syn")
     def render_syn_s(blocks, R, T):
-        return model.renderer_light.render(blocks, R, T)[..., :3]
+        return model.renderer_light.render_faces_flat(
+            blocks, R, T, syn_face_colors
+        )[..., :3]
 
     # trajectory-video programs return uint8: the frames only ever feed the
     # video encoder, and the D2H pull through the axon tunnel is 4x smaller
@@ -93,7 +99,11 @@ def qualitative_eval(model, params, loader, path, NV=240, n_views=10,
 
     @aot_jit(label="quali_render_syn_u8")
     def render_syn_u8_s(blocks, R, T):
-        return _to_u8(model.renderer_light.render(blocks, R, T)[..., :3])
+        return _to_u8(
+            model.renderer_light.render_faces_flat(
+                blocks, R, T, syn_face_colors
+            )[..., :3]
+        )
 
     # jitted edge overlays: the previous eager calls paid per-op dispatch
     # through the axon tunnel at 16x supersampled shapes

@@ -700,10 +700,21 @@ class BlocksWorld:
 
     def predict_synthetic(self, params, phase, R, T):
         """Flat-shaded synthetic-color render of the filtered blocks
-        (reference dbw.py:241-248)."""
+        (reference dbw.py:241-248). Synthetic maps are constant per block,
+        so this rides the per-face-constant fast path (raster + two
+        gathers, render/renderer.py render_faces_flat) instead of the full
+        fragment pipeline — equality pinned by tests/test_render_extras.py."""
         phase = phase._replace(filter_transparent=jnp.asarray(True))
         blocks, _ = self.build_blocks(params, phase, synthetic=True)
-        return self.renderer_light.render(blocks, R, T)[..., :3]
+        face_colors = self.synthetic_face_colors()
+        return self.renderer_light.render_faces_flat(
+            blocks, R, T, face_colors
+        )[..., :3]
+
+    def synthetic_face_colors(self):
+        """(N*BNF, 3) per-face synthetic palette: the constant block color
+        every uv of the synthetic maps resolves to."""
+        return jnp.repeat(self.statics.block_colors, self.BNF, axis=0)
 
     def sample_points_from_blocks(self, params, key=None, n_points=500):
         """Random surface samples of the posed blocks in model coordinates

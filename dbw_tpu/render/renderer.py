@@ -507,6 +507,69 @@ class Renderer:
                                           row_range=row_range)
         )(R, T)
 
+    def render_faces_flat(self, scene: MeshScene, R, T, face_colors):
+        """Hard flat-lit render with per-face CONSTANT colors: one K=1
+        raster + two table gathers per pixel — no barycentrics, no uv
+        interpolation, no atlas sampling.
+
+        Exact for scenes whose texture maps are constant per block (the
+        synthetic-color renders, reference dbw.py:241-248): there the
+        lit-flat path's bilinear atlas sample returns the block color at
+        every uv, so color(fragment) = face_color[face] * light[face] is a
+        per-face constant. The general `_shade_lit_flat` path paid the full
+        per-fragment pipeline for this — 595 ms per 4-view ss4 dispatch on
+        the v5e (viz_probe, BENCH_NOTES round 4), the largest stream of
+        every val interval and of the synthetic trajectory videos.
+        Equality is pinned by tests/test_render_extras.py.
+
+        Requires this renderer's config: flat shading, sigma == 0, K == 1.
+        """
+        cfg = self.config
+        assert cfg.shading == "flat" and float(cfg.sigma) == 0.0, (
+            "render_faces_flat: hard flat-lit viz renderers only"
+        )
+        rcfg = cfg.raster_config()._replace(faces_per_pixel=1)
+        geom_b = jax.vmap(
+            lambda r, t: project_faces(
+                scene.verts, scene.faces, r, t, self.camera, z_clip=cfg.z_clip
+            )
+        )(R, T)
+        if cfg.backend == "pallas":
+            from .rasterize_pallas import pack_faces, rasterize_pallas_batched
+
+            packed = jax.vmap(pack_faces)(
+                jax.tree_util.tree_map(jax.lax.stop_gradient, geom_b)
+            )
+            p2f = rasterize_pallas_batched(
+                packed, jnp.float32(0.0), rcfg, hard=True
+            )
+        else:
+            xcfg = rcfg._replace(backend="xla")
+            p2f = jax.vmap(
+                lambda g: rasterize(g, jnp.float32(0.0), xcfg)
+            )(geom_b)
+        f = p2f[..., 0]  # (B, Hs, Ws) front face per pixel, -1 = miss
+
+        from .meshes import face_normals
+        from .shading import _light
+
+        fn = face_normals(scene.verts, scene.faces)       # (F, 3)
+        cent = scene.verts[scene.faces].mean(axis=1)      # (F, 3)
+        ambient = jnp.asarray(cfg.ambient_color or (1.0,) * 3)
+        bg = jnp.asarray(cfg.background_color)
+
+        def view(fv, r):
+            light = _light(fn, cent, r, cfg.light_type, cfg.light_direction,
+                           cfg.light_location, ambient, cfg.diffuse_color)
+            tab = jnp.asarray(face_colors) * light        # (F, 3)
+            safe = jnp.maximum(fv, 0)
+            a = (fv >= 0).astype(jnp.float32) * scene.faces_alpha[safe]
+            rgb = tab[safe] * a[..., None] + (1.0 - a[..., None]) * bg
+            return jnp.concatenate([rgb, a[..., None]], axis=-1)
+
+        imgs = jax.vmap(view)(f, R)
+        return self._pool_tail(imgs)
+
     # -- wireframe overlays ----------------------------------------------
 
     def render_edges_view(self, scene: MeshScene, R, T, linewidth=1.0):

@@ -314,3 +314,54 @@ class TestTrajectoryRenders:
         out = _render_batched(fn, R, T, chunk=2)
         direct = np.asarray(fn(R, T))
         np.testing.assert_allclose(out, direct, atol=1e-6)
+
+
+class TestFacesFlatFastPath:
+    """render_faces_flat (raster + two gathers) == the general lit-flat
+    path on a per-block-constant-texture scene (the synthetic renders)."""
+
+    def test_matches_lit_path_on_synthetic_scene(self):
+        from dbw_tpu.models.dbw import BlocksWorld
+        from dbw_tpu.ops.rotations import look_at_rotation
+
+        model = BlocksWorld(
+            (20, 28),
+            mesh=dict(n_blocks=3, txt_size=16),
+            renderer=dict(faces_per_pixel=2),
+            rend_optim=dict(decouple_rendering=True),
+            loss=dict(rgb_weight=1),
+        )
+        K = np.zeros((4, 4), np.float32)
+        K[0, 0] = K[1, 1] = 2.0
+        model.set_camera(K)
+        params = model.init_params(seed=7)
+        phase = model.phase_for_epoch(0, training=False)
+        phase = phase._replace(filter_transparent=jnp.asarray(True))
+        blocks, _ = model.build_blocks(params, phase, synthetic=True)
+        B = 3
+        R, T = look_at_rotation(3.0, 25.0, jnp.linspace(-40.0, 40.0, B))
+
+        general = model.renderer_light.render(blocks, R, T)
+        fast = model.renderer_light.render_faces_flat(
+            blocks, R, T, model.synthetic_face_colors()
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast), np.asarray(general), atol=2e-6
+        )
+        # and the model-level wrapper rides the fast path
+        syn = model.predict_synthetic(params, phase, R, T)
+        np.testing.assert_allclose(
+            np.asarray(syn), np.asarray(general[..., :3]), atol=2e-6
+        )
+
+    def test_rejects_non_flat_config(self):
+        from tests.test_render import fov_cam, tri_scene
+
+        scene = tri_scene([[-1, -1, 2], [1, -1, 2], [0, 1, 2]])
+        cfg = RendererConfig(image_size=(8, 8), faces_per_pixel=1,
+                             sigma=0.0, shading="raw")
+        r = Renderer(cfg, fov_cam())
+        with pytest.raises(AssertionError):
+            r.render_faces_flat(
+                scene, EYE[None], ZERO[None], jnp.ones((1, 3))
+            )
