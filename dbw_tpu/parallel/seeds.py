@@ -56,6 +56,23 @@ def seed_axis_exec(fn, *xs):
         on_accel = jax.default_backend() != "cpu"
         compact_live = _compact_mode() not in ("0", "off", "false")
         mode = "map" if (on_accel and compact_live) else "vmap"
+    if mode == "vmap":
+        from ..render.meshes import _texel_mode
+
+        if _texel_mode() == "quadk":
+            # measured on the chip (round 4): the batched block specs vmap
+            # puts on the texel segment-sum pallas kernel cannot lower
+            # (Mosaic: non-trivial index_map on ANY-space operands) — the
+            # 5-seed vmap protocol arm crashed in _sample_quad's backward.
+            # Fail loudly instead of letting Mosaic's error surface.
+            raise ValueError(
+                "DBW_SEED_EXEC=vmap is incompatible with the pallas texel "
+                "kernels (DBW_TEXEL=quadk, the accelerator default): "
+                "Mosaic cannot lower vmapped block specs. Use the map "
+                "executor (default on accelerators; measured equal-cost — "
+                "BENCH_NOTES '5-seed protocol ON the TPU'), or force "
+                "DBW_TEXEL=quad to A/B vmap on the XLA texel path."
+            )
     if mode == "map":
         return jax.lax.map(lambda args: fn(*args), xs)
     return jax.vmap(fn)(*xs)

@@ -286,10 +286,21 @@ class Renderer:
             DR, WIN, frag_fused_enabled, fused_fragment_shade,
         )
 
+        try:
+            from jax._src.interpreters.batching import BatchTracer
+        except ImportError:  # pragma: no cover - jax internals moved
+            BatchTracer = ()
         if (
             cfg.detach_bary
             and frag_fused_enabled()
             and _texel_mode() in ("quad", "quadk")
+            # under vmap (e.g. DBW_SEED_EXEC=vmap's per-device seed axis)
+            # the fused/quad pallas kernels get batched block specs Mosaic
+            # cannot lower (non-trivial index maps on ANY-space operands —
+            # measured: the 5-seed vmap protocol arm crashed in
+            # _sample_quad); take the XLA gather path instead, which
+            # batches fine. The map executor never hits this.
+            and not isinstance(p2f_b, BatchTracer)
         ):
             # fully-fused fragment stage: one Pallas kernel does the face
             # gather (windowed one-hot MXU contraction against the

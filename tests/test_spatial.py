@@ -303,3 +303,16 @@ def test_spatial_trainer_validation(tmp_path):
         MultiSeedTrainer(cfg, tmp_path / "a", [1, 2], n_spatial=3)
     with pytest.raises(ValueError, match="n_spatial=8 leaves"):
         MultiSeedTrainer(cfg, tmp_path / "b", [1, 2, 3, 4, 5], n_spatial=8)
+
+
+def test_vmap_executor_rejected_with_pallas_texel_kernels(monkeypatch):
+    """DBW_SEED_EXEC=vmap + the quadk pallas texel path must fail loudly
+    (Mosaic cannot lower vmapped block specs — measured on the chip)."""
+    from dbw_tpu.parallel import seeds as ps
+    from dbw_tpu.render import meshes
+
+    monkeypatch.setenv("DBW_SEED_EXEC", "vmap")
+    monkeypatch.setattr(meshes, "_TEXEL_MODE", "quadk")
+    xs = (jnp.zeros((2, 3)),)
+    with pytest.raises(ValueError, match="incompatible with the pallas"):
+        ps.seed_axis_exec(lambda x: x, *xs)
