@@ -168,17 +168,20 @@ def qualitative_eval(model, params, loader, path, NV=240, n_views=10,
     return None
 
 
-def _render_batched(render_fn, R, T, chunk=10):
+def _render_batched(render_fn, R, T, chunk=10, max_in_flight=4):
     """Render a long trajectory in fixed-size chunks (reference
     renderer.py:357-365 renders by batches of 10 to bound memory).
 
-    All chunks are dispatched before any is pulled: JAX dispatch is async,
-    so the device renders back-to-back while the host drains earlier
-    chunks — a synchronous render->pull loop leaves the chip idle for
-    every D2H round-trip (100s of ms each through the axon tunnel). The
-    in-flight outputs are small (chunk x H x W x C post-pooling)."""
+    Up to ``max_in_flight`` chunks are dispatched ahead of the host pull:
+    JAX dispatch is async, so the device renders back-to-back while the
+    host drains earlier chunks — a synchronous render->pull loop leaves
+    the chip idle for every D2H round-trip (100s of ms each through the
+    axon tunnel). The cap keeps the chunking's memory bound real: an
+    unbounded queue holds n/chunk output buffers on-device at once, which
+    silently loses the bound for float32 callers at higher resolution."""
     n = len(R)
     futs = []
+    out = []
     for k in range(0, n, chunk):
         Rc, Tc = R[k : k + chunk], T[k : k + chunk]
         pad = chunk - len(Rc)
@@ -186,5 +189,9 @@ def _render_batched(render_fn, R, T, chunk=10):
             Rc = jnp.concatenate([Rc, jnp.repeat(Rc[-1:], pad, 0)])
             Tc = jnp.concatenate([Tc, jnp.repeat(Tc[-1:], pad, 0)])
         futs.append((render_fn(Rc, Tc), chunk - pad if pad else chunk))
-    return np.concatenate([np.asarray(f)[:take] for f, take in futs])
+        while len(futs) >= max_in_flight:
+            f, take = futs.pop(0)
+            out.append(np.asarray(f)[:take])
+    out.extend(np.asarray(f)[:take] for f, take in futs)
+    return np.concatenate(out)
 

@@ -575,11 +575,24 @@ class Renderer:
             tab = jnp.asarray(face_colors) * light        # (F, 3)
             safe = jnp.maximum(fv, 0)
             a = (fv >= 0).astype(jnp.float32) * scene.faces_alpha[safe]
-            rgb = tab[safe] * a[..., None] + (1.0 - a[..., None]) * bg
+            # Channel-MAJOR at supersampled resolution, and pool BEFORE the
+            # background blend (the blend is affine in (rgb*a, a), so
+            # pool(rgb*a) + (1-pool(a))*bg == pool(blend) exactly): a
+            # trailing dim of 3 on a (B, Hs, Ws, 3) f32 temp pads ~42x
+            # under TPU (8,128)/(4,128) tiling — at the 10-view ss4
+            # trajectory chunk that was a 22.98 GB compile-time HBM OOM
+            # (round-4 flagship eval crash). (3, Hs, Ws) keeps the big
+            # dims minor; the channel-minor image only exists at final res.
+            wrgb_c = tab.T[:, safe] * a[None]             # (3, Hs, Ws)
+            s = cfg.supersample
+            if s > 1:
+                wrgb_c = _avg_pool_2d_strided(wrgb_c, s)  # (3, H, W)
+                a = _avg_pool_2d_strided(a[None], s)[0]   # (H, W)
+            rgb = (wrgb_c + (1.0 - a[None]) * bg[:, None, None]
+                   ).transpose(1, 2, 0)
             return jnp.concatenate([rgb, a[..., None]], axis=-1)
 
-        imgs = jax.vmap(view)(f, R)
-        return self._pool_tail(imgs)
+        return jax.vmap(view)(f, R)
 
     # -- wireframe overlays ----------------------------------------------
 
@@ -688,6 +701,20 @@ def _avg_pool_2d(img, k):
     """(H*k, W*k, C) -> (H, W, C) mean pooling."""
     H, W, C = img.shape[0] // k, img.shape[1] // k, img.shape[2]
     return img.reshape(H, k, W, k, C).mean(axis=(1, 3))
+
+
+def _avg_pool_2d_strided(x, k):
+    """(..., H*k, W*k) -> (..., H, W) mean pooling over the two MINOR dims
+    via k*k strided slices, never materialising a (..., H, k, W, k) reshape
+    whose size-k minor dims pad to the 128-lane tile (the layout that
+    OOM'd the round-4 trajectory renders)."""
+    acc = x[..., 0::k, 0::k]
+    for i in range(k):
+        for j in range(k):
+            if i == 0 and j == 0:
+                continue
+            acc = acc + x[..., i::k, j::k]
+    return acc / float(k * k)
 
 
 def make_train_renderer(image_size, camera, faces_per_pixel=10, sigma=1e-4,
