@@ -97,6 +97,12 @@ class MultiSeedTrainer:
         self._shard = None
         self._mesh = None
         n_dev = len(jax.devices())
+        # loud-validation contract: EVERY invalid axis value gets a clear
+        # ValueError (n_data=0 used to slip past to a ZeroDivisionError)
+        if n_data is not None and n_data < 1:
+            raise ValueError(f"n_data must be >= 1, got {n_data}")
+        if n_spatial is not None and int(n_spatial) < 1:
+            raise ValueError(f"n_spatial must be >= 1, got {n_spatial}")
         if n_data is not None and n_data > 1 and n_dev == 1:
             raise ValueError(
                 f"n_data={n_data} requested but only {n_dev} device present")

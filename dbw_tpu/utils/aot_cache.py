@@ -36,6 +36,13 @@ between a hit and the original compile.
 
 Disabled on the CPU backend (compiles are fast there and tests sweep
 many shapes) and via ``DBW_AOT=0``.
+
+Trust boundary: entries are loaded with ``pickle.loads``, so anyone who
+can write the cache directory can execute code in every later process
+that reads it. The cache dir is created mode 0o700 and entries not owned
+by the current uid are rejected; the remaining assumption — same-uid
+processes are trusted — is the normal single-user dev-box model. Point
+``cache_dir``/``DBW_AOT`` elsewhere (or off) on shared machines.
 """
 
 from __future__ import annotations
@@ -92,6 +99,11 @@ def cached_compile(lowered, label: str = "fn", cache_dir=None):
 
     if path.exists():
         try:
+            st = path.stat()
+            if hasattr(os, "getuid") and st.st_uid != os.getuid():
+                raise PermissionError(
+                    f"cache entry owned by uid {st.st_uid}, not "
+                    f"{os.getuid()} — refusing to unpickle")
             payload, in_tree, out_tree, dev_ids = pickle.loads(
                 path.read_bytes())
             # the executable was compiled for a specific device set; loading
@@ -115,7 +127,7 @@ def cached_compile(lowered, label: str = "fn", cache_dir=None):
         dev_ids = [
             d.id for d in compiled._executable.xla_executable.local_devices()
         ]
-        cache_dir.mkdir(parents=True, exist_ok=True)
+        cache_dir.mkdir(parents=True, exist_ok=True, mode=0o700)
         # atomic publish: a concurrent process never reads a half-written
         # entry (tmp file on the same filesystem, then rename)
         fd, tmp = tempfile.mkstemp(dir=str(cache_dir), suffix=".tmp")
@@ -151,11 +163,15 @@ class AotJit:
         self._broken = not _enabled()
 
     def _sig(self, args):
+        # shape/dtype + SHARDING per leaf: a same-shaped array placed
+        # differently must not hit another placement's Compiled (jit's own
+        # signature cache keys on sharding too)
         leaves, treedef = jax.tree_util.tree_flatten(args)
         return (
             treedef,
             tuple(
-                (getattr(x, "shape", ()), str(getattr(x, "dtype", type(x))))
+                (getattr(x, "shape", ()), str(getattr(x, "dtype", type(x))),
+                 str(getattr(x, "sharding", None)))
                 for x in leaves
             ),
         )
@@ -177,7 +193,16 @@ class AotJit:
                 self._broken = True
                 return self._jit(*args)
             self._compiled[sig] = fn
-        return fn(*args)
+        try:
+            return fn(*args)
+        except Exception as e:
+            # belt-and-braces: any dispatch-time incompatibility of a
+            # cached executable (placement drift, donation mismatch)
+            # routes to the always-correct jitted path instead of dying
+            print(f"[aot_cache] {self._label}: compiled dispatch failed "
+                  f"({type(e).__name__}: {e}); using plain jit")
+            self._compiled.pop(sig, None)
+            return self._jit(*args)
 
 
 def aot_jit(fn=None, *, label="fn", cache_dir=None, **jit_kwargs):
