@@ -76,6 +76,28 @@ def _compact_div():
         return 16
 
 
+def _remat_policy():
+    """Remat policy for the COMPACT ladder branches.
+
+    ``DBW_COMPACT_REMAT=stream``: save the per-fragment compacted stream
+    (fused-kernel outputs + its 8-row residual + texel colors, all tagged
+    ``checkpoint_name('compact_stream')``) so the backward of the taken
+    branch re-derives only cheap index math instead of re-running the
+    fused fragment kernel and the quad gather forward (~40 ms of the
+    234 ms epoch-0 step re-ran the taken branch's forward — BENCH_NOTES
+    round-4 step trace). Residual cost: O(M) dense rows per rung
+    (~100-170 MB at the DTU shape), zero-filled in the non-taken
+    branches by lax.switch residual unioning.
+
+    ``full`` (default until chip-measured): the round-4 behavior —
+    branches carry no residuals, backward re-runs the taken forward."""
+    mode = os.environ.get("DBW_COMPACT_REMAT", "full").lower()
+    if mode == "stream":
+        return jax.checkpoint_policies.save_only_these_names(
+            "compact_stream")
+    return None
+
+
 # ---------------------------------------------------------------------------
 # segmented inclusive product scan (Hillis-Steele over runs of equal ids)
 
@@ -183,7 +205,15 @@ def _shade_compacted(M, dynT, p2f_flat, skey, counts_pix, sigma, flags,
     id00, wx, wy, alpha = fused_fragment_shade(
         dynT, ids_c, vld_f, px, py, sigma, flags
     )
+    # the compacted fragment stream: under the stream-saving remat policy
+    # these (M,)-sized tensors are kept as residuals so the backward
+    # re-derives only the cheap index math, not the fused kernel forward
+    from jax.ad_checkpoint import checkpoint_name
+
+    name = lambda x: checkpoint_name(x, "compact_stream")
+    id00, wx, wy, alpha = name(id00), name(wx), name(wy), name(alpha)
     colors = _sample_quad(maps_flat, id00, wx, wy, TWt)   # (M, 3)
+    colors = name(colors)
     if ambient is not None:
         colors = colors * jnp.asarray(ambient)
 
@@ -275,6 +305,15 @@ def compact_fragment_shade(dynT, p2f_b, sigma, flags, maps_flat, TWt,
     # rare-overflow case. prevent_cse=False: the step runs inside lax.scan
     # where XLA cannot CSE across the remat boundary anyway (jax docs).
     remat = partial(jax.checkpoint, prevent_cse=False)
-    branches = [remat(branch(M)) for M in caps] + [remat(dense_fn)]
+    pol = _remat_policy()
+    remat_c = (
+        partial(jax.checkpoint, prevent_cse=False, policy=pol)
+        if pol is not None else remat
+    )
+    # stream policy applies to the COMPACT branches only — their saved
+    # streams are (M,)-sized and dense; the dense fallback branch stays
+    # fully rematerialized (its residuals are the rank-5 tile-padding
+    # disaster documented above, and it is the rare-overflow case)
+    branches = [remat_c(branch(M)) for M in caps] + [remat(dense_fn)]
     which = sum((count > M).astype(jnp.int32) for M in caps)
     return jax.lax.switch(which, branches)

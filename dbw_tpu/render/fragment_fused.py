@@ -345,6 +345,13 @@ def _fwd(dynT, ids, vld, px, py, sigma, flags):
     )(sig, win, ids_m, vld_m, px_m, py_m, dynT)
     out = (id00.reshape(-1)[:N], wx.reshape(-1)[:N], wy.reshape(-1)[:N],
            alpha.reshape(-1)[:N])
+    # named for the compact-shade stream-saving remat policy
+    # (compact_shade._remat_policy): saving this 8-row residual lets the
+    # backward of a rematerialized compact branch skip re-running the fwd
+    # kernel. Inert under every other checkpoint policy.
+    from jax.ad_checkpoint import checkpoint_name
+
+    res = checkpoint_name(res, "compact_stream")
     return out, (ids_m, vld_m, px_m, py_m, res, sig, n_blk, F_pad, win)
 
 
