@@ -40,6 +40,10 @@ def main():
     if not ymls:
         sys.exit(f"no dumped config yml in {run_dir}")
     cfg = load_yaml(ymls[0])
+    old_tsv = None
+    tsv_path = run_dir / "final_scores.tsv"
+    if tsv_path.exists():
+        old_tsv = tsv_path.read_text()
     train_loader, _, test_loader = create_train_val_test_loader(cfg)
     dataset = train_loader.dataset
     model, params, _ = load_model_from_checkpoint(
@@ -51,6 +55,35 @@ def main():
     )
     print("final_scores:",
           ", ".join(f"{k}={v:.5f}" for k, v in scores.items()))
+
+    # provenance note: a re-scored TSV next to a training.log that printed
+    # different (pre-fix) values must be self-explaining (VERDICT r4 #9)
+    import datetime
+    import subprocess
+
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=Path(__file__).resolve().parents[1],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        commit = "unknown"
+    note = run_dir / "final_scores.requant.txt"
+    stamp = datetime.datetime.now().isoformat(timespec="seconds")
+    with open(note, "a") as f:
+        f.write(
+            f"== requant {stamp} (commit {commit}, ckpt {args.ckpt}) ==\n"
+            "final_scores.tsv was REWRITTEN by scripts/requant_run.py from "
+            "the saved checkpoint using the metric implementations at the "
+            "commit above; values printed in training.log predate this "
+            "re-score and may differ (e.g. the pre-fix bf16 SSIM).\n"
+            "previous final_scores.tsv:\n"
+            f"{old_tsv if old_tsv is not None else '(none existed)'}\n"
+            "new final_scores.tsv:\n"
+            f"{tsv_path.read_text() if tsv_path.exists() else '(missing)'}\n"
+        )
+    print(f"wrote provenance note: {note}")
 
 
 if __name__ == "__main__":

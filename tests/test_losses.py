@@ -217,6 +217,65 @@ class TestWeightConversion:
         val = float(l_full(x, y))
         assert np.isfinite(val) and val > 0
 
+    def test_one_step_ingestion_into_model(self, tmp_path, monkeypatch):
+        """The documented real-weights drop-in end to end (VERDICT r4 #7):
+        torch checkpoints -> convert_vgg.py -> $DBW_VGG_WEIGHTS /
+        $DBW_LPIPS_WEIGHTS -> a BlocksWorld model whose perceptual stack
+        reports the published-comparable ``LPIPS`` column and computes a
+        loss through the converted weights. Random-initialized torch
+        weights: this proves the PIPELINE, not the features (reference
+        pretrained path: src/model/loss.py:66-111)."""
+        import sys
+
+        import torch
+
+        sys.path.insert(0, "scripts")
+        from convert_vgg import convert_lpips, convert_vgg
+
+        from dbw_tpu.models.dbw import BlocksWorld
+
+        rng = np.random.default_rng(2)
+        vgg_pth = tmp_path / "vgg16.pth"
+        torch.save(self._fake_vgg16_sd(rng), vgg_pth)
+        vgg_npz = tmp_path / "vgg16.npz"
+        convert_vgg(vgg_pth, vgg_npz)
+        lin_sd = {
+            f"lin{i}.model.1.weight": torch.from_numpy(
+                rng.random((1, c, 1, 1)).astype(np.float32)
+            )
+            for i, c in enumerate([64, 128, 256, 512, 512])
+        }
+        lin_pth = tmp_path / "lpips.pth"
+        torch.save(lin_sd, lin_pth)
+        lin_npz = tmp_path / "lpips_lin.npz"
+        convert_lpips(lin_pth, lin_npz)
+
+        monkeypatch.setenv("DBW_VGG_WEIGHTS", str(vgg_npz))
+        monkeypatch.setenv("DBW_LPIPS_WEIGHTS", str(lin_npz))
+        model = BlocksWorld(
+            (16, 24),
+            mesh=dict(n_blocks=2, txt_size=8),
+            renderer=dict(faces_per_pixel=2),
+            rend_optim=dict(decouple_rendering=True),
+            loss=dict(rgb_weight=1, perceptual_weight=1),
+        )
+        assert model.perceptual_loss.vgg.pretrained
+        assert model.perceptual_loss.label == "LPIPS"
+        x = jnp.asarray(rng.random((1, 16, 24, 3), np.float32))
+        y = jnp.asarray(rng.random((1, 16, 24, 3), np.float32))
+        assert float(model.perceptual_loss(x, y)) > 0
+        # and the config-path flow (loss.vgg_weights) matches the env flow
+        monkeypatch.delenv("DBW_VGG_WEIGHTS")
+        m2 = BlocksWorld(
+            (16, 24),
+            mesh=dict(n_blocks=2, txt_size=8),
+            renderer=dict(faces_per_pixel=2),
+            rend_optim=dict(decouple_rendering=True),
+            loss=dict(rgb_weight=1, perceptual_weight=1,
+                      vgg_weights=str(vgg_npz)),
+        )
+        assert m2.perceptual_loss.label == "LPIPS"
+
 
 class TestBlockTVReferenceSemantics:
     """Pin the block-TV filtering semantics to the reference's.
