@@ -18,6 +18,10 @@ if [ -f /tmp/verify_chip_r5.pid ]; then
 fi
 echo "=== chip free; starting round-5 queue ($(date)) ==="
 
+echo "=== 0. bench.py, default remat policy (A arm for stage 2) ==="
+timeout 900 python bench.py \
+  2>&1 | tee artifacts/round5/bench_default.log || echo "default bench FAILED (rc $?)"
+
 echo "=== 1. sp band ladder (measured, worst-band offset, both phases) ==="
 timeout 3600 python scripts/sp_band_probe.py \
   2>&1 | tee artifacts/round5/sp_band_probe.log || echo "sp_band_probe FAILED (rc $?)"

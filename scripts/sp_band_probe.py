@@ -36,6 +36,10 @@ def main():
     p.add_argument("--heights", type=int, nargs="*",
                    default=[300, 150, 75, 38])
     p.add_argument("--epoch", type=int, nargs="*", default=[0, 1600])
+    p.add_argument("--batch", type=int, default=4,
+                   help="views per device (4 = full reference batch; 2 = "
+                   "one data-shard's share under data=2, so --batch 2 "
+                   "--heights 75 measures one device of (data=2, sp=4))")
     p.add_argument("--tiny", action="store_true",
                    help="tiny shapes on CPU (smoke test of the probe)")
     args = p.parse_args()
@@ -60,7 +64,7 @@ def main():
               model.renderer_light):
         r.config = r.config._replace(backend=backend)
     params = model.init_params(seed=0)
-    B = 4
+    B = args.batch
     R, T = graft._cams(B)
     H, W = model.img_size
     key = jax.random.PRNGKey(0)
@@ -78,7 +82,7 @@ def main():
             # worst band: centered on the image middle (block-dense rows)
             row0_c = float(max(0, min(H // 2 - Hb // 2, H - Hb)))
 
-            @aot_jit(label=f"sp_probe_h{Hb}_e{epoch}")
+            @aot_jit(label=f"sp_probe_h{Hb}_e{epoch}_b{B}")
             def g(params, imgs_b, row0, key):
                 def loss(p):
                     rec, aux = model.predict(

@@ -18,8 +18,14 @@ Two arms (VERDICT r4 next #3):
 
 Usage:
   python scripts/sp_train_probe.py --mode banded --steps 200
-  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-      python scripts/sp_train_probe.py --mode mesh --steps 50
+  XLA_FLAGS="--xla_force_host_platform_device_count=8 \
+      --xla_cpu_collective_call_terminate_timeout_seconds=3600" \
+      python scripts/sp_train_probe.py --mode mesh --cpu --steps 50
+
+The terminate-timeout flag matters on a 1-core host: XLA's in-process CPU
+communicator aborts the whole process (SIGABRT, rendezvous.cc) if the 8
+virtual-device threads spread more than 40 s (default) around a
+collective, which timeslicing 4 band renders on one core routinely does.
 """
 
 import argparse

@@ -211,6 +211,25 @@ class TestEndToEnd:
                 err_msg=name,
             )
 
+    def test_stream_remat_policy_matches_dense(self, monkeypatch):
+        """DBW_COMPACT_REMAT=stream (save the compacted fragment stream,
+        remat only index math — the round-5 remat-tax lever) must be a pure
+        scheduling change: image and gradients identical to the default
+        full-remat compact path and to dense."""
+        monkeypatch.setenv("DBW_COMPACT_REMAT", "stream")
+        scene, cam = _scene_and_cam()
+        img_s, g_s = _run_shade(scene, cam, 0.0, True, monkeypatch)
+        monkeypatch.setenv("DBW_COMPACT_REMAT", "full")
+        img_d, g_d = _run_shade(scene, cam, 0.0, False, monkeypatch)
+        np.testing.assert_allclose(
+            np.asarray(img_s), np.asarray(img_d), atol=2e-5
+        )
+        for a, b, name in zip(g_s, g_d, ["xy", "faces_alpha", "maps"]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=3e-4, atol=5e-5,
+                err_msg=name,
+            )
+
     @pytest.mark.slow
     def test_dense_fallback_when_over_cap(self, monkeypatch):
         # div huge -> tiny caps -> count exceeds them -> dense branch; the
