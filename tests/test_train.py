@@ -268,6 +268,21 @@ class TestEndToEnd:
         assert any(quali.glob("rotated_mesh.*"))
         assert not any(quali.glob("*_rec_traj.*"))
 
+        # scores-only quali surface (render_videos: false — the path
+        # configs/synthetic/dtu_shaped_scoreseval.yml times for the
+        # north-star accounting): no videos at all, meshes/textures/renders
+        # still written
+        from dbw_tpu.eval.quali import qualitative_eval
+        from dbw_tpu.utils.misc import path_mkdir
+
+        out2 = path_mkdir(tmp_path / "quali_scores_only")
+        qualitative_eval(trainer.model, trainer.params, trainer.test_loader,
+                         out2, NV=4, render_videos=False)
+        assert (out2 / "mesh.obj").exists()
+        assert (out2 / "textures" / "bkg.png").exists()
+        assert not any(out2.glob("rotated_mesh.*"))
+        assert not any(out2.glob("*_rec_traj*"))
+
         # resume path: restart from the checkpoint
         cfg2 = {**cfg, "training": {**cfg["training"], "resume": str(tmp_path / "model.pkl"),
                                      "n_epoches": 7}}
