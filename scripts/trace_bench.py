@@ -6,6 +6,13 @@ protobuf, and prints the top ops by total device time — the working tool
 behind BENCH_NOTES.md's trace tables.
 
 Usage: python scripts/trace_bench.py [--steps 3] [--top 40] [--out DIR]
+
+``--band Hb [--batch B]`` traces the BANDED loss+grad program instead
+(the per-device program of an sp pixel-band shard at the worst band
+offset, same construction as scripts/sp_band_probe.py) — used to
+decompose the measured per-band fixed floor (BENCH_NOTES "sp band-height
+ladder"): full-face geometry vs replicated param-space losses
+(TV/overlap/parsimony) vs kernel fixed costs.
 """
 
 import argparse
@@ -21,7 +28,7 @@ os.environ.setdefault(
 )
 
 
-def capture(out_dir, steps):
+def capture(out_dir, steps, band=None, batch=4):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -43,17 +50,32 @@ def capture(out_dir, steps):
     opt_state = optimizer.init(params)
     phase = model.phase_for_epoch(0, training=True)
     lrs = {"main": jnp.float32(5e-3), "texture": jnp.float32(5e-2)}
-    B, H, W = 4, 300, 400
+    B, (H, W) = batch, model.img_size
     R, T = graft._cams(B)
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.random((B, H, W, 3), np.float32))
 
     from functools import partial
 
+    if band is not None:
+        # banded per-device program (sp shard stand-in): render only Hb
+        # rows at the worst (block-dense, centered) offset; pixel losses on
+        # the band, param-space losses full — same as sp_band_probe.py
+        Hb = min(band, H)
+        row0 = jnp.float32(max(0, min(H // 2 - Hb // 2, H - Hb)))
+        imgs = jax.lax.dynamic_slice_in_dim(imgs, int(row0), Hb, axis=1)
+
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, key):
         def loss_fn(pp):
-            losses = model.forward(pp, phase, imgs, R, T, key)
+            if band is not None:
+                rec, aux = model.predict(
+                    pp, phase, R, T, key=key, row_range=(row0, Hb)
+                )
+                losses = model.compute_losses(imgs, rec, pp, phase, aux,
+                                              key=key)
+            else:
+                losses = model.forward(pp, phase, imgs, R, T, key)
             return losses["total"], losses
 
         grads, losses = jax.grad(loss_fn, has_aux=True)(params)
@@ -130,7 +152,13 @@ if __name__ == "__main__":
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--out", type=str, default="/tmp/dbw_trace")
     p.add_argument("--parse-only", action="store_true")
+    p.add_argument("--band", type=int, default=None,
+                   help="trace the banded (sp per-device) program at this "
+                   "band height instead of the full frame")
+    p.add_argument("--batch", type=int, default=4,
+                   help="views per device (pairs with --band to match an "
+                   "(data, sp) mesh's per-device shape)")
     args = p.parse_args()
     if not args.parse_only:
-        capture(args.out, args.steps)
+        capture(args.out, args.steps, band=args.band, batch=args.batch)
     parse(args.out, args.top, args.steps)
