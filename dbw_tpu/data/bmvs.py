@@ -3,6 +3,8 @@ layout as DTU, no GT point cloud, val capped at 5 / test at 10 views."""
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
 
 from ..render.cameras import camera_from_opencv_projection
@@ -15,7 +17,8 @@ RAW_IMG_SIZE = (576, 768)
 
 def load_bmvs(split, img_size, tag, view_ids=None, root=None, **kwargs):
     assert not kwargs, f"unknown bmvs dataset keys: {kwargs}"
-    root = root or (DATASETS_PATH / "BlendedMVS")
+    # Path() so a YAML-config string root works (cfg['dataset']['root'])
+    root = Path(root) if root else (DATASETS_PATH / "BlendedMVS")
     data_path = path_exists(root / tag / "image")
     files = get_files_from(data_path, IMG_EXTENSIONS, recursive=True, sort=True)
     n = len(files)

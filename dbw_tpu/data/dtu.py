@@ -7,6 +7,8 @@ inverse scale matrix. All host-side numpy."""
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
 
 from ..render.cameras import camera_from_opencv_projection
@@ -21,7 +23,8 @@ RAW_IMG_SIZE = (1200, 1600)
 
 def load_dtu(split, img_size, tag, view_ids=None, root=None, **kwargs):
     assert not kwargs, f"unknown dtu dataset keys: {kwargs}"
-    root = root or (DATASETS_PATH / "DTU")
+    # Path() so a YAML-config string root works (cfg['dataset']['root'])
+    root = Path(root) if root else (DATASETS_PATH / "DTU")
     data_path = path_exists(root / tag / "image")
     files = get_files_from(data_path, IMG_EXTENSIONS, recursive=True, sort=True)
     n = len(files)

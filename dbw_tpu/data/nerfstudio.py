@@ -23,6 +23,7 @@ against ``ops.rotations.look_at_rotation`` in tests/test_datasets.py."""
 from __future__ import annotations
 
 import json
+from pathlib import Path
 
 import numpy as np
 
@@ -131,7 +132,8 @@ def load_nerfstudio(split, img_size=None, tag="", downscale_factor=1,
                     root=None, model_dir=None, **kwargs):
     kwargs.pop("view_ids", None)
     assert not kwargs, f"unknown nerfstudio dataset keys: {kwargs}"
-    root = root or (DATASETS_PATH / "nerfstudio")
+    # Path() so a YAML-config string root works (cfg['dataset']['root'])
+    root = Path(root) if root else (DATASETS_PATH / "nerfstudio")
 
     if split == "val":
         # reference: empty val split (nerfstudio.py:88-89)

@@ -344,3 +344,91 @@ class TestScannedTrainer:
         assert len(df) >= 2
         assert np.isfinite(df["loss_total"]).all()
         assert df["loss_total"].iloc[-1] < df["loss_total"].iloc[0] * 1.5
+
+
+@pytest.mark.slow
+class TestDTUEndToEnd:
+    def test_dtu_trainer_writes_official_scores(self, tmp_path, monkeypatch):
+        """The full real-data path end-to-end on a DTU-format fixture scan:
+        IDR cameras.npz ingestion (own RQ decomposition) -> Trainer -> final
+        eval's dataset.name=='dtu' branch (reference trainer.py:256-264):
+        block mesh exported, de-normalized by scale_mat, scored by the
+        official protocol (ObsMask masking, sklearn-equivalent neighbors) ->
+        run_dir/dtu_scores.tsv. Until this test, only the synthetic loader
+        was driven through the Trainer; the DTU loader and the official-eval
+        branch were unit-tested separately."""
+        import sys
+        from pathlib import Path
+
+        from scipy.io import savemat
+
+        from dbw_tpu.ops.icosphere import icosphere
+        from dbw_tpu.train.trainer import Trainer
+        from dbw_tpu.utils.obj_io import save_ply
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent))
+        from test_datasets import make_fake_idr_scan
+
+        root = tmp_path / "datasets"
+        make_fake_idr_scan(root, "DTU", "scan7", n_views=6, hw=(24, 32),
+                           with_points=False)
+        v, _ = icosphere(2)
+        gt = (np.asarray(v) * 2.0).astype(np.float32)
+        pts_dir = root / "DTU" / "Points" / "stl"
+        pts_dir.mkdir(parents=True, exist_ok=True)
+        save_ply(pts_dir / "stl007_total.ply", gt)
+        om = root / "DTU" / "ObsMask"
+        om.mkdir()
+        savemat(om / "ObsMask7_10.mat", {
+            "ObsMask": np.ones((60, 60, 60), np.uint8),
+            "BB": np.array([[-30.0, -30.0, -30.0], [30.0, 30.0, 30.0]]),
+            "Res": np.array([[1.0]]),
+        })
+        savemat(om / "Plane7.mat",
+                {"P": np.array([[0.0], [0.0], [1.0], [100.0]])})
+
+        import dbw_tpu.eval.full as full_mod
+
+        monkeypatch.setattr(full_mod, "DATASETS_PATH", root)
+
+        cfg = {
+            "dataset": {"name": "dtu", "tag": "scan7", "img_size": [24, 32],
+                        "root": str(root / "DTU"),
+                        "view_ids": [0, 1, 2, 3]},
+            "model": {
+                "name": "dbw",
+                # opacity_init 0.9 + no parsimony: the random fixture images
+                # give blocks no photometric support, and the test needs a
+                # non-empty filtered mesh for a finite protocol score (the
+                # all-blocks-dead path is covered by the no-more-blocks
+                # abort tests)
+                "mesh": dict(n_blocks=2, txt_size=16, T_range=[0.5, 0.5, 0.5],
+                             opacity_init=0.9),
+                "renderer": dict(faces_per_pixel=2, z_clip=0.001),
+                "rend_optim": dict(coarse_learning=2,
+                                   decouple_rendering=True),
+                "loss": dict(rgb_weight=1),
+            },
+            "training": {
+                "batch_size": 2,
+                "n_epoches": 3,
+                "optimizer": {"name": "adam", "lr": 5e-3,
+                              "texture": {"lr": 5e-2}},
+                "scheduler": {"name": "multi_step", "gamma": [0.1, 0.1],
+                              "milestones": [2]},
+                "train_stat_interval": 2,
+                "val_stat_interval": 4,
+                "eval": {"render_videos": False, "NV": 4},
+                "seed": 11,
+            },
+        }
+        trainer = Trainer(cfg, tmp_path / "run", seed=11)
+        trainer.run(seed=11)
+
+        scores_path = tmp_path / "run" / "dtu_scores.tsv"
+        assert scores_path.exists(), "official DTU eval did not write scores"
+        rows = scores_path.read_text().strip().splitlines()
+        assert len(rows) == 2
+        vals = [float(x) for x in rows[1].split("\t")]
+        assert all(np.isfinite(vals)), vals
+        assert (tmp_path / "run" / "final_scores.tsv").exists()
