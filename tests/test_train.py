@@ -432,3 +432,53 @@ class TestDTUEndToEnd:
         vals = [float(x) for x in rows[1].split("\t")]
         assert all(np.isfinite(vals)), vals
         assert (tmp_path / "run" / "final_scores.tsv").exists()
+
+    def test_bmvs_trainer_end_to_end(self, tmp_path):
+        """BMVS through the real Trainer: same IDR camera ingestion at the
+        576x768 raw convention, no GT point cloud (reference bmvs.py:36
+        zeros(1,3)) — final eval runs the full image surface and skips the
+        DTU protocol branch."""
+        import sys
+        from pathlib import Path
+
+        from dbw_tpu.train.trainer import Trainer
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent))
+        from test_datasets import make_fake_idr_scan
+
+        root = tmp_path / "datasets"
+        make_fake_idr_scan(root, "BlendedMVS", "dog", n_views=6, hw=(24, 32),
+                           with_points=False)
+
+        cfg = {
+            "dataset": {"name": "bmvs", "tag": "dog", "img_size": [24, 32],
+                        "root": str(root / "BlendedMVS"),
+                        "view_ids": [0, 1, 2, 3]},
+            "model": {
+                "name": "dbw",
+                "mesh": dict(n_blocks=2, txt_size=16, T_range=[0.5, 0.5, 0.5],
+                             opacity_init=0.9),
+                "renderer": dict(faces_per_pixel=2, z_clip=0.001),
+                "rend_optim": dict(coarse_learning=2,
+                                   decouple_rendering=True),
+                "loss": dict(rgb_weight=1),
+            },
+            "training": {
+                "batch_size": 2,
+                "n_epoches": 2,
+                "optimizer": {"name": "adam", "lr": 5e-3,
+                              "texture": {"lr": 5e-2}},
+                "scheduler": {"name": "multi_step", "gamma": [0.1, 0.1],
+                              "milestones": [2]},
+                "train_stat_interval": 2,
+                "val_stat_interval": 4,
+                "eval": {"render_videos": False, "NV": 4},
+                "seed": 11,
+            },
+        }
+        trainer = Trainer(cfg, tmp_path / "run", seed=11)
+        trainer.run(seed=11)
+
+        assert (tmp_path / "run" / "final_scores.tsv").exists()
+        assert not (tmp_path / "run" / "dtu_scores.tsv").exists()
+        assert (tmp_path / "run" / "quali_eval" / "mesh.obj").exists()
